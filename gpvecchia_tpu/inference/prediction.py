@@ -1,0 +1,211 @@
+"""Vecchia posterior prediction: means, variances, linear combinations.
+
+Mirrors /root/reference/R/vecchia_prediction.R on the padded-dense
+representation: posterior mean via two level-scheduled triangular solves with
+V, variances via the Takahashi selected inverse (or exactly via per-column
+solves), lincombs and the dense joint covariance for diagnostics.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..kernels.covariance import make_kernel_fn
+from ..kernels.u_entries import u_entries
+from ..linalg.selinv import build_selinv_levels, selected_inverse
+from ..linalg.sparse import scatter_add
+from ..linalg.trisolve import backward_solve, forward_solve
+from ..plan import get_plan
+from .likelihood import (_device_arrays, _dispatch_covmodel, _nugget_vectors,
+                         compute_v_factor)
+
+__all__ = ["vecchia_prediction", "vecchia_lincomb", "V2covmat"]
+
+
+def _posterior_core(plan, kernel_fn, covmat, dev, z, covparms, nuggets,
+                    sel=None):
+    """Returns (mu over latent vars in ordered sequence, v_flat, col, nug_ord)."""
+    dt = plan.dtype
+    z = jnp.asarray(z, dt)
+    covparms = jnp.asarray(covparms, dt)
+    nuggets = jnp.broadcast_to(jnp.asarray(nuggets, dt), z.shape)
+
+    nug_ord, nug_point = _nugget_vectors(plan, dev, nuggets, dt)
+    col = u_entries(dev["locs"], dev["NN"], dev["valid"], dev["cond"],
+                    nug_point, kernel_fn, covparms, covmat=covmat, sel=sel)
+    zord = z[dev["ord_z"]]
+
+    znb = zord[dev["nb_obs_pos"]]
+    z1L = jnp.sum(jnp.where(dev["nb_resp"], col * znb, 0.0), axis=1)
+    z1L = jnp.where(dev["has_lat"], z1L, 0.0)
+    z1Z = zord / jnp.sqrt(nug_ord)
+
+    n_lat = plan.n_lat
+    targets = jnp.where(dev["cond"] & dev["has_lat"][:, None],
+                        dev["latent_rank"][dev["NN"]], -1)
+    vals = col * z1L[:, None]
+    z2 = scatter_add(jnp.zeros(n_lat, dt), targets,
+                     jnp.where(targets >= 0, vals, 0.0))
+    lat_obs = dev["has_lat"][dev["obs_points"]]
+    tgt_obs = jnp.where(lat_obs, dev["latent_rank"][dev["obs_points"]], -1)
+    z2 = scatter_add(z2, tgt_obs,
+                     jnp.where(lat_obs, -z1Z / jnp.sqrt(nug_ord), 0.0))
+
+    v_flat = compute_v_factor(plan, dev, col, nug_ord, dt)
+    temp = forward_solve(v_flat, z2[::-1], plan.fwd_blocks)
+    mu_rev = -backward_solve(v_flat, temp, plan.bwd_blocks)
+    mu_ord = mu_rev[::-1]       # over latent vars in ordered sequence
+    return mu_ord, v_flat, col, nug_ord
+
+
+def _pred_fns(spec, covmodel, dtype=None):
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    plan = get_plan(spec, dtype)
+    key = ("pred", str(covmodel), np.dtype(dtype).name)
+    if key in plan.compiled:
+        return plan.compiled[key], plan
+    covmat, sel, kernel_fn = _dispatch_covmodel(spec, covmodel, dtype)
+    dev = _device_arrays(plan)
+
+    @jax.jit
+    def mean_fn(z, covparms, nuggets):
+        mu, v_flat, col, nug_ord = _posterior_core(
+            plan, kernel_fn, covmat, dev, z, covparms, nuggets, sel=sel)
+        return mu, v_flat
+
+    selinv_levels = plan.compiled.get("selinv_levels")
+    if selinv_levels is None:
+        selinv_levels = build_selinv_levels(plan)
+        plan.compiled["selinv_levels"] = selinv_levels
+
+    @jax.jit
+    def var_fn(v_flat):
+        z_flat = selected_inverse(v_flat, selinv_levels, plan.v_nnz)
+        diag_rev = z_flat[jnp.asarray(plan.v_diag_slots)]
+        return diag_rev[::-1]    # variances over latent vars, ordered sequence
+
+    fns = (mean_fn, var_fn)
+    plan.compiled[key] = fns
+    return fns, plan
+
+
+def _extract(spec, values_ord):
+    """Latent ordered-sequence values -> (obs part, pred part) original order."""
+    n = spec.n_obs
+    n_all_locs = spec.ord.shape[0]
+    out = np.empty(n_all_locs, dtype=np.float64)
+    out[spec.ord] = values_ord
+    return out[:n], out[n:]
+
+
+def vecchia_prediction(z, spec, covparms, nuggets, var_exact=None,
+                       covmodel="matern", return_values="all"):
+    """Posterior mean/variance at observed and prediction locations.
+
+    Mirrors /root/reference/R/vecchia_prediction.R:17-56.  Returns a dict
+    with mu_obs, mu_pred and (for 'meanvar'/'all') var_obs, var_pred.
+    """
+    (mean_fn, var_fn), plan = _pred_fns(spec, covmodel)
+    nuggets = np.broadcast_to(np.asarray(nuggets, np.float64), (spec.n_obs,))
+    z = np.asarray(z, np.float64)
+    # NA handling: mean-fill with inflated nuggets (R/vecchia_likelihood.R:45-58)
+    if np.any(np.isnan(z)):
+        nuggets = nuggets.copy()
+        zv = np.nanvar(z, ddof=1) * 1e8
+        nuggets = np.where(np.isnan(z), zv, nuggets)
+        z = np.where(np.isnan(z), np.nanmean(z), z)
+    # infinite nuggets (unobserved pseudo-data) pass through harmlessly
+
+    mu_ord, v_flat = mean_fn(z, np.asarray(covparms, np.float64), nuggets)
+    mu_obs, mu_pred = _extract(spec, np.asarray(mu_ord))
+    out = {"mu_obs": mu_obs, "mu_pred": mu_pred,
+           "var_obs": None, "var_pred": None, "V": None}
+    if return_values in ("meanmat", "all"):
+        out["V"] = np.asarray(v_flat)
+        out["_plan"] = plan
+
+    if return_values in ("meanvar", "all"):
+        if var_exact is None:
+            var_exact = spec.n_pred < 4e4
+        vars_ord = np.asarray(var_fn(v_flat))
+        var_obs, var_pred = _extract(spec, vars_ord)
+        if var_exact and spec.ordering_pred == "obspred" and spec.n_pred > 0:
+            # exact path recomputes prediction variances by per-column solves;
+            # obs variances stay from the selected inverse (as in the
+            # reference, R/vecchia_prediction.R:224-244)
+            var_pred = np.asarray(_exact_pred_vars(spec, plan, v_flat))
+        out["var_obs"] = var_obs
+        out["var_pred"] = var_pred
+    return out
+
+
+def _exact_pred_vars(spec, plan, v_flat):
+    """Exact prediction variances via per-column forward solves.
+
+    var_i = || V^{-1} e_{rev(i)} ||^2 (identity lincomb, reference
+    vecchia_lincomb at R/vecchia_prediction.R:164-178); computed only for
+    prediction latent variables, returned in original pred order.
+    """
+    n = plan.n_lat
+    # ordered-sequence positions of prediction points -> rev positions
+    pred_seq = np.flatnonzero(spec.ord >= spec.n_obs)  # positions in ordered seq
+    rev_pos = n - 1 - pred_seq
+
+    def one(p):
+        b = jnp.zeros(n, v_flat.dtype).at[p].set(1.0)
+        x = forward_solve(v_flat, b, plan.fwd_blocks)
+        return jnp.sum(x * x)
+
+    vars_pred_seq = jax.vmap(one)(jnp.asarray(rev_pos))
+    # back to original pred order
+    out = np.empty(spec.n_pred)
+    out[spec.ord[pred_seq] - spec.n_obs] = np.asarray(vars_pred_seq)
+    return out
+
+
+def vecchia_lincomb(H, spec, v_flat, cov_mat=False):
+    """Variance (or covariance matrix) of H @ y under the posterior.
+
+    H: (k, n_locs) dense or scipy-sparse matrix over the stacked original
+    ordering [obs; pred].  Mirrors R/vecchia_prediction.R:164-178.
+    """
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    plan = get_plan(spec, dtype)
+    H = np.asarray(H.todense()) if hasattr(H, "todense") else np.asarray(H)
+    # columns to reversed latent order: rev of ordered sequence
+    Ht = H[:, spec.ord[::-1]]          # (k, n_lat)
+    v_flat = jnp.asarray(v_flat)
+
+    def one(b):
+        return forward_solve(v_flat, jnp.asarray(b), plan.fwd_blocks)
+
+    temp = jax.vmap(one)(jnp.asarray(Ht))   # (k, n_lat)
+    if cov_mat:
+        return np.asarray(temp @ temp.T)
+    return np.asarray(jnp.sum(temp * temp, axis=1))
+
+
+def V2covmat(spec, v_flat):
+    """Dense joint posterior covariance (diagnostics; small n only).
+
+    Mirrors /root/reference/R/vecchia_prediction.R:265-288.
+    """
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    plan = get_plan(spec, dtype)
+    n = plan.n_lat
+    V = np.zeros((n, n))
+    cp = plan.v_colptr
+    vf = np.asarray(v_flat)
+    for j in range(n):
+        V[plan.v_rows[cp[j]:cp[j + 1]], j] = vf[cp[j]:cp[j + 1]]
+    Sigma_rev = np.linalg.inv(V @ V.T)
+    Sigma_ord = Sigma_rev[::-1, ::-1]
+    out = np.empty((spec.ord.size, spec.ord.size))
+    out[np.ix_(spec.ord, spec.ord)] = Sigma_ord
+    n_obs = spec.n_obs
+    return {"Sigma_obs": out[:n_obs, :n_obs], "Sigma_pred": out[n_obs:, n_obs:]}

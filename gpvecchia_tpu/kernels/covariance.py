@@ -1,0 +1,126 @@
+"""Covariance kernels (JAX, device-side).
+
+Isotropic kernels evaluated elementwise on distance arrays, designed to fuse
+into the batched conditioning-set covariance build.  All functions are
+jit/vmap/grad friendly and handle d == 0 without NaN gradients.
+
+Reference parity targets (behavior, not code):
+  - MaternFun ~ /root/reference/src/Matern.cpp:24-86 (closed forms for
+    nu = 0.5/1.5/2.5; general nu via modified Bessel K)
+  - EsqeFun   ~ /root/reference/src/Esqe.cpp:17-39 (exponential + squared
+    exponential sum kernel)
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from .bessel import log_kv
+
+__all__ = ["matern", "esqe", "pairwise_dist", "cross_dist", "make_kernel_fn"]
+
+_SQRT3 = 1.7320508075688772
+_SQRT5 = 2.2360679774997896
+
+
+def _safe_dist(d2):
+    """sqrt with a zero-safe gradient (grad -> 0 at d2 == 0)."""
+    z = d2 > 0
+    return jnp.where(z, jnp.sqrt(jnp.where(z, d2, 1.0)), 0.0)
+
+
+def pairwise_dist(pts):
+    """Pairwise Euclidean distances of (..., k, d) -> (..., k, k)."""
+    d = pts[..., :, None, :] - pts[..., None, :, :]
+    return _safe_dist(jnp.sum(d * d, axis=-1))
+
+
+def cross_dist(a, b):
+    """Distances between (..., p, d) and (..., q, d) -> (..., p, q)."""
+    d = a[..., :, None, :] - b[..., None, :, :]
+    return _safe_dist(jnp.sum(d * d, axis=-1))
+
+
+def matern(dist, covparms):
+    """Matern covariance on a distance array.
+
+    covparms = (variance, range, smoothness).  Closed forms are used when the
+    smoothness is a static 0.5 / 1.5 / 2.5; any other (or traced) smoothness
+    goes through the differentiable log-Bessel-K path.
+    """
+    sig2, rho, nu = covparms[0], covparms[1], covparms[2]
+    s = dist / rho
+
+    def _m05(s, nu):
+        return jnp.exp(-s)
+
+    def _m15(s, nu):
+        return (1.0 + _SQRT3 * s) * jnp.exp(-_SQRT3 * s)
+
+    def _m25(s, nu):
+        return (1.0 + _SQRT5 * s + 5.0 * s * s / 3.0) * jnp.exp(-_SQRT5 * s)
+
+    def _mgen(s, nu):
+        # general smoothness: 2^(1-nu)/Gamma(nu) * s^nu * K_nu(s)
+        pos = s > 0
+        s_safe = jnp.where(pos, s, 1.0)
+        logc = ((1.0 - nu) * jnp.log(2.0) - jax.lax.lgamma(nu)
+                + nu * jnp.log(s_safe) + log_kv(nu, s_safe))
+        return jnp.where(pos, jnp.exp(logc), 1.0)
+
+    nu_static = None
+    if not isinstance(nu, jax.core.Tracer):
+        try:
+            nu_static = float(nu)
+        except TypeError:
+            nu_static = None
+
+    if nu_static is not None:
+        fn = {0.5: _m05, 1.5: _m15, 2.5: _m25}.get(nu_static, _mgen)
+        c = fn(s, covparms[2])
+    else:
+        # traced smoothness: runtime dispatch, matching the reference's
+        # value-based closed-form fast paths (src/Matern.cpp:32-71)
+        idx = jnp.where(nu == 0.5, 0,
+                        jnp.where(nu == 1.5, 1, jnp.where(nu == 2.5, 2, 3)))
+        c = jax.lax.switch(idx, [_m05, _m15, _m25, _mgen], s, nu)
+    return sig2 * jnp.where(dist > 0, c, 1.0)
+
+
+def esqe(dist, covparms):
+    """Exponential + squared-exponential sum kernel.
+
+    covparms = (var1, range1, var2, range2).
+    """
+    v1, r1, v2, r2 = covparms[0], covparms[1], covparms[2], covparms[3]
+    s1 = dist / r1
+    s2 = dist / r2
+    return v1 * jnp.exp(-s1) + v2 * jnp.exp(-(s2 * s2))
+
+
+def make_kernel_fn(covmodel) -> Callable:
+    """Resolve a covariance model spec into f(dist_array, covparms).
+
+    Accepts 'matern', 'esqe', or a callable.  A callable with one positional
+    argument is treated as f(dist) -> cov; with two as f(dist, covparms).
+    Callables taking location pairs are handled at a higher level.
+    """
+    if isinstance(covmodel, str):
+        if covmodel == "matern":
+            return matern
+        if covmodel == "esqe":
+            return esqe
+        raise ValueError(f"covariance model '{covmodel}' is not implemented")
+    if callable(covmodel):
+        import inspect
+        try:
+            nargs = len(inspect.signature(covmodel).parameters)
+        except (TypeError, ValueError):
+            nargs = 2
+        if nargs == 1:
+            return lambda dist, covparms: covmodel(dist)
+        return covmodel
+    raise ValueError("covmodel must be a string or callable")

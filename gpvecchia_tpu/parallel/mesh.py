@@ -1,0 +1,87 @@
+"""Mesh sharding for scale-out (jax.sharding + jit/GSPMD).
+
+The reference's only parallelism is one OpenMP loop over U rows
+(/root/reference/src/U_NZentries.cpp:37); here the row dimension of every
+batched kernel shards across a device mesh, with XLA inserting the
+collectives (scatter-adds across shards -> reduce; loglik terms -> psum over
+ICI).  A second mesh axis runs independent hyperparameter evaluations
+(chains) in parallel — a capability the reference does not have.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..inference.likelihood import (_device_arrays, _dispatch_covmodel,
+                                    _loglik_core)
+from ..plan import get_plan
+
+__all__ = ["make_mesh", "sharded_loglik_fn", "shard_rows"]
+
+_ROW_KEYS = ("NN", "valid", "cond", "nb_resp", "nb_obs_pos", "has_lat",
+             "latent_rank", "obs_pos", "w_pair_slots")
+
+
+def make_mesh(devices=None, rows=None, chains=1):
+    """1- or 2-D mesh over (chains, rows)."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if rows is None:
+        rows = devices.size // chains
+    devices = devices[: rows * chains].reshape(chains, rows)
+    return Mesh(devices, ("chains", "rows"))
+
+
+def _pad_rows(plan, dev, n_dev):
+    """Pad row-dimension arrays so n_all divides the row axis."""
+    n_all = plan.n_all
+    pad = (-n_all) % n_dev
+    if pad == 0:
+        return dev, n_all
+    out = dict(dev)
+    for k in _ROW_KEYS:
+        if k in out:
+            a = out[k]
+            widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+            fill = False if a.dtype == bool else (-1 if jnp.issubdtype(a.dtype, jnp.integer) else 0)
+            out[k] = jnp.pad(a, widths, constant_values=fill)
+    return out, n_all + pad
+
+
+def shard_rows(mesh, plan, dev):
+    """Place row-indexed plan arrays sharded over the 'rows' axis."""
+    dev, _ = _pad_rows(plan, dev, mesh.shape["rows"])
+    out = {}
+    for k, v in dev.items():
+        if k in _ROW_KEYS:
+            spec = P("rows", *([None] * (v.ndim - 1)))
+        else:
+            spec = P()
+        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+    return out
+
+
+def sharded_loglik_fn(spec, covmodel="matern", mesh=None, dtype=None):
+    """loglik(z, covparms, nuggets) with rows sharded over the mesh.
+
+    Padded rows are masked inside the core (padded NN rows are invalid and
+    carry no latent/obs flags, so they contribute exactly zero).
+    """
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    if mesh is None:
+        mesh = make_mesh()
+    plan = get_plan(spec, dtype)
+    covmat, sel, kernel_fn = _dispatch_covmodel(spec, covmodel, dtype)
+    dev = _device_arrays(plan)
+    # pad + shard row-space arrays; note locs stays replicated (n x d is small)
+    sharded = shard_rows(mesh, plan, dev)
+
+    @jax.jit
+    def fn(z, covparms, nuggets):
+        return _loglik_core(plan, kernel_fn, covmat, sharded, z, covparms,
+                            nuggets, sel=sel)
+
+    return fn

@@ -1,0 +1,121 @@
+"""Prediction correctness vs the literal dense reference algorithm.
+
+The dense oracle (tests/reference_impl.dense_posterior) follows the reference
+computation exactly; posterior means and exact-path prediction variances must
+match it to float precision.  Observed-location variances go through the
+Takahashi selected inverse, which (like the reference's sparseinv) is exact
+only when the V pattern is closed under fill -- with a prediction block it is
+an approximation, so those get loose tolerances.
+"""
+
+import warnings
+
+import numpy as np
+import pytest
+from scipy.spatial.distance import cdist
+
+from gpvecchia_tpu import vecchia_specify
+from gpvecchia_tpu.inference.prediction import (V2covmat, vecchia_lincomb,
+                                                vecchia_prediction)
+
+from reference_impl import dense_posterior, matern_np
+
+COVPARMS = (1.0, 0.3, 0.5)
+NUG = 0.2
+
+
+def _data(n=40, n_pred=25, seed=1996):
+    rng = np.random.default_rng(seed)
+    locs = rng.uniform(size=(n, 2))
+    locs_pred = rng.uniform(size=(n_pred, 2))
+    K = matern_np(cdist(locs, locs), COVPARMS)
+    z = rng.multivariate_normal(np.zeros(n), K + NUG * np.eye(n))
+    return locs, locs_pred, z
+
+
+def _dense_gp_posterior(locs, locs_pred, z):
+    all_locs = np.vstack([locs, locs_pred])
+    K = matern_np(cdist(all_locs, all_locs), COVPARMS)
+    n = len(locs)
+    Koo = K[:n, :n] + NUG * np.eye(n)
+    mean = K[:, :n] @ np.linalg.solve(Koo, z)
+    cov = K - K[:, :n] @ np.linalg.solve(Koo, K[:n, :])
+    return mean, np.diag(cov), cov
+
+
+@pytest.mark.parametrize("cond", ["zy", "y", "SGV", "SGVT", "RVP"])
+def test_posterior_matches_dense_reference(cond):
+    locs, locs_pred, z = _data()
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        spec = vecchia_specify(locs, m=len(locs) - 1, locs_pred=locs_pred,
+                               cond_yz=cond)
+        ref = dense_posterior(z, spec, COVPARMS, NUG)
+        preds = vecchia_prediction(z, spec, COVPARMS, NUG)
+    np.testing.assert_allclose(preds["mu_obs"], ref["mu_obs"], atol=1e-9)
+    np.testing.assert_allclose(preds["mu_pred"], ref["mu_pred"], atol=1e-9)
+    # exact-path prediction variances equal the true inverse diagonal
+    np.testing.assert_allclose(preds["var_pred"], ref["var_pred"], atol=1e-9)
+    # selected-inverse obs variances: approximate when the pattern is open
+    np.testing.assert_allclose(preds["var_obs"], ref["var_obs"], atol=0.2)
+
+
+def test_posterior_close_to_exact_gp():
+    locs, locs_pred, z = _data(n=120, n_pred=60)
+    mean, var, _ = _dense_gp_posterior(locs, locs_pred, z)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        spec = vecchia_specify(locs, m=25, locs_pred=locs_pred)
+        preds = vecchia_prediction(z, spec, COVPARMS, NUG)
+    n = len(locs)
+    assert np.max(np.abs(preds["mu_pred"] - mean[n:])) < 0.05
+    assert np.max(np.abs(preds["var_pred"] - var[n:])) < 0.05
+
+
+def test_selinv_exact_on_closed_pattern():
+    """Without predictions the V pattern is symbolically filled, so the
+    Takahashi selected inverse must reproduce the dense inverse diagonal."""
+    locs, _, z = _data(n=50, n_pred=1)
+    spec = vecchia_specify(locs, m=12, cond_yz="y")
+    ref = dense_posterior(z, spec, COVPARMS, NUG)
+    preds = vecchia_prediction(z, spec, COVPARMS, NUG, var_exact=False)
+    np.testing.assert_allclose(preds["var_obs"], ref["var_obs"], atol=1e-9)
+    np.testing.assert_allclose(preds["mu_obs"], ref["mu_obs"], atol=1e-9)
+
+
+def test_lincomb_and_covmat():
+    locs, locs_pred, z = _data(n=30, n_pred=15)
+    n, n_p = len(locs), len(locs_pred)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        spec = vecchia_specify(locs, m=n - 1, locs_pred=locs_pred, cond_yz="y")
+        preds = vecchia_prediction(z, spec, COVPARMS, NUG)
+        ref = dense_posterior(z, spec, COVPARMS, NUG)
+    # posterior covariance implied by V
+    W = ref["V"] @ ref["V"].T
+    Sigma_rev = np.linalg.inv(W)
+    Sigma_ord = Sigma_rev[::-1, ::-1]
+    Sigma = np.empty_like(Sigma_ord)
+    Sigma[np.ix_(spec.ord, spec.ord)] = Sigma_ord
+    H = np.zeros((1, n + n_p))
+    H[0, n:] = 1.0 / n_p
+    got = vecchia_lincomb(H, spec, preds["V"])
+    want = (H @ Sigma @ H.T)[0, 0]
+    np.testing.assert_allclose(got, want, atol=1e-9)
+    got_cm = vecchia_lincomb(H, spec, preds["V"], cov_mat=True)
+    np.testing.assert_allclose(got_cm, want, atol=1e-9)
+    cm = V2covmat(spec, preds["V"])
+    np.testing.assert_allclose(cm["Sigma_pred"], Sigma[n:, n:], atol=1e-9)
+    np.testing.assert_allclose(cm["Sigma_obs"], Sigma[:n, :n], atol=1e-9)
+
+
+def test_pred_cond_independent_runs():
+    locs, locs_pred, z = _data(n=80, n_pred=40)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        spec = vecchia_specify(locs, m=15, locs_pred=locs_pred, cond_yz="y",
+                               pred_cond="independent")
+        preds = vecchia_prediction(z, spec, COVPARMS, NUG)
+        ref = dense_posterior(z, spec, COVPARMS, NUG)
+    np.testing.assert_allclose(preds["mu_pred"], ref["mu_pred"], atol=1e-9)
+    assert np.all(np.isfinite(preds["var_pred"]))
