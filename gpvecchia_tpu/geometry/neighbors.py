@@ -53,37 +53,66 @@ def find_ordered_nn(locsord: np.ndarray, m: int, chunk: int = 4096) -> np.ndarra
     if m == 0 or n <= 1:
         return NN
 
-    # head: brute force over the first block
-    head = min(n, max(chunk, m + 1))
+    if chunk == 4096:  # default path: try the native kernel
+        from .. import csrc
+        native = csrc.ordered_nn(locsord, m)
+        if native is not None:
+            return native
+
+    # head: brute force over the first block (vectorized top-m per row)
+    head = min(n, max(min(chunk, 2048), m + 1))
     d_head = _pairwise_sq(locsord[:head], locsord[:head])
     iu = np.triu_indices(head, 0)
     d_head[iu] = np.inf  # only previous points allowed
-    for i in range(1, head):
-        prev = min(i, m)
-        idx = np.argpartition(d_head[i, :i], prev - 1)[:prev] if i > prev else np.arange(i)
-        idx = idx[np.argsort(d_head[i, idx], kind="stable")]
-        NN[i, 1:1 + prev] = idx
+    _fill_topm(NN, d_head, np.arange(head), row_offset=0, m=m)
 
     # tail: chunked tree queries against [0, a) + brute force inside the chunk
     a = head
     while a < n:
         b = min(n, a + chunk)
+        c = b - a
         tree = cKDTree(locsord[:a])
         q = locsord[a:b]
-        dt, it = tree.query(q, k=min(m, a))
-        dt = np.atleast_2d(dt.reshape(b - a, -1))
-        it = np.atleast_2d(it.reshape(b - a, -1))
-        # brute force within the chunk (previous points only)
+        k = min(m, a)
+        dt, it = tree.query(q, k=k)
+        dt = dt.reshape(c, k)
+        it = it.reshape(c, k)
+        # merge tree candidates with in-chunk previous points, vectorized
         d_in = _pairwise_sq(q, q)
-        for r in range(b - a):
-            i = a + r
-            cand_idx = np.concatenate([it[r], np.arange(a, i)])
-            cand_d = np.concatenate([dt[r] ** 2, d_in[r, :r]])
-            sel = np.argsort(cand_d, kind="stable")[:m]
-            NN[i, 1:1 + sel.size] = cand_idx[sel]
+        mask = np.triu_indices(c, 0)
+        d_in[mask] = np.inf
+        cand_d = np.concatenate([dt ** 2, d_in], axis=1)   # (c, k + c)
+        cand_idx = np.concatenate(
+            [it, np.broadcast_to(np.arange(a, b), (c, c))], axis=1)
+        take = min(m, cand_d.shape[1])
+        part = np.argpartition(cand_d, take - 1, axis=1)[:, :take]
+        rows = np.arange(c)[:, None]
+        sub_d = cand_d[rows, part]
+        order = np.argsort(sub_d, axis=1, kind="stable")
+        sel = part[rows, order]
+        sel_d = cand_d[rows, sel]
+        sel_i = cand_idx[rows, sel]
+        valid_sel = np.isfinite(sel_d)
+        NN[a:b, 1:1 + take] = np.where(valid_sel, sel_i, -1)
         a = b
 
     return NN
+
+
+def _fill_topm(NN, d, idx_map, row_offset, m):
+    """Vectorized top-m (by distance) per row of a masked distance matrix."""
+    nrow = d.shape[0]
+    take = min(m, d.shape[1])
+    if take == 0:
+        return
+    part = np.argpartition(d, min(take - 1, d.shape[1] - 1), axis=1)[:, :take]
+    rows = np.arange(nrow)[:, None]
+    sub = d[rows, part]
+    order = np.argsort(sub, axis=1, kind="stable")
+    sel = part[rows, order]
+    sel_d = d[rows, sel]
+    out = np.where(np.isfinite(sel_d), idx_map[sel], -1)
+    NN[row_offset:row_offset + nrow, 1:1 + take] = out
 
 
 def _pairwise_sq(x: np.ndarray, y: np.ndarray) -> np.ndarray:

@@ -110,6 +110,11 @@ def order_maxmin_exact(locs: np.ndarray, first: int | None = None) -> np.ndarray
         return np.zeros(1, dtype=np.int64)
 
     if first is None:
+        from .. import csrc
+        native = csrc.maxmin_exact(locs)
+        if native is not None:
+            return native
+
         centroid = locs.mean(axis=0)
         diffs = locs - centroid
         first = int(np.argmin(np.einsum("ij,ij->i", diffs, diffs)))

@@ -30,6 +30,12 @@ def which_cond_on_latent(NNarray: np.ndarray, firstind_pred: int | None = None) 
     n, mp1 = NN.shape
     if firstind_pred is None:
         firstind_pred = n
+
+    from .. import csrc
+    native = csrc.sgv_select(NN, int(firstind_pred))
+    if native is not None:
+        return native
+
     cond = np.zeros((n, mp1), dtype=bool)
     valid = NN >= 0
     cond[0, 0] = True

@@ -115,13 +115,26 @@ def _build_chol_levels(chol_cols, col_patterns, colptr, W: LowerCSR,
     if n_A_cols == 0:
         return []
     # dependency level within the chol set: col j depends on every col k with
-    # j in s_k (k < j); level = 1 + max level of dependencies
+    # j in s_k (k < j); level = 1 + max level of dependencies.  Vectorized
+    # wave iteration (converges after #levels sweeps).
     first = int(chol_cols.min())
-    level = np.ones(int(chol_cols.max()) + 1 - first, dtype=np.int64)
+    nc = int(chol_cols.max()) + 1 - first
+    level = np.ones(nc, dtype=np.int64)
+    src_l, dst_l = [], []
     for j in chol_cols:
         s = col_patterns[j][1:]
         if s.size:
-            np.maximum.at(level, s - first, level[j - first] + 1)
+            src_l.append(np.full(s.size, j - first))
+            dst_l.append(s - first)
+    if src_l:
+        src = np.concatenate(src_l)
+        dst = np.concatenate(dst_l)
+        while True:
+            new = level.copy()
+            np.maximum.at(new, dst, level[src] + 1)
+            if np.array_equal(new, level):
+                break
+            level = new
     levels = level[chol_cols - first]
 
     out = []
@@ -133,15 +146,17 @@ def _build_chol_levels(chol_cols, col_patterns, colptr, W: LowerCSR,
         widths = np.array([col_patterns[j].size for j in ids])
         F = int(widths.max())
         L = ids.size
-        col_slots = np.full((L, F), -1, dtype=np.int64)
-        out_slots = np.full((L, F), -1, dtype=np.int64)
+        ar = np.arange(F)[None, :]
+        wmask = ar < widths[:, None]
+        out_slots = np.where(wmask, colptr[ids][:, None] + ar, -1)
+        # gather padded column patterns from the flat v_rows layout
+        all_rows = np.concatenate([col_patterns[j] for j in ids])
         rows_pad = np.full((L, F), -1, dtype=np.int64)
-        for b, j in enumerate(ids):
-            s = col_patterns[j]
-            rows_pad[b, :s.size] = s - rev_offset      # A-space
-            col_slots[b, :s.size] = W.lookup(s - rev_offset,
-                                             np.full(s.size, j - rev_offset))
-            out_slots[b, :s.size] = colptr[j] + np.arange(s.size)
+        rows_pad[wmask] = all_rows - rev_offset        # A-space
+        jj = np.where(wmask, np.repeat(ids, 1)[:, None] - rev_offset, 0)
+        col_slots = W.lookup(np.where(wmask, rows_pad, 0).ravel(),
+                             jj.ravel()).reshape(L, F)
+        col_slots = np.where(wmask, col_slots, -1)
         assert np.all(col_slots[rows_pad >= 0] >= 0), \
             "A[s_j, j] must lie in the factorization pattern"
         # Schur update pairs among s_j \ {j}
@@ -167,22 +182,26 @@ def _build_chol_levels(chol_cols, col_patterns, colptr, W: LowerCSR,
     return out
 
 
+def _padded_col_slots(colptr, grp, widths, F):
+    """Vectorized (L, F) slot matrix: row i = colptr[grp[i]] + arange, -1 pad."""
+    L = grp.size
+    ar = np.arange(F)[None, :]
+    slots = colptr[grp][:, None] + ar
+    return np.where(ar < widths[:, None], slots, -1)
+
+
 def _build_solve_blocks(colptr, rows, levels, n_lat):
     """Group V columns by dependency level into padded SolveBlocks."""
     blocks = []
     order = np.argsort(levels, kind="stable")
     lv_sorted = levels[order]
     bounds = np.flatnonzero(np.diff(lv_sorted)) + 1
+    rows_pad = np.concatenate([rows, [-1]])
     for grp in np.split(order, bounds):
         widths = colptr[grp + 1] - colptr[grp]
         F = int(widths.max())
-        L = grp.size
-        slots = np.full((L, F), -1, dtype=np.int64)
-        rws = np.full((L, F), -1, dtype=np.int64)
-        for i, j in enumerate(grp):
-            w = int(widths[i])
-            slots[i, :w] = np.arange(colptr[j], colptr[j + 1])
-            rws[i, :w] = rows[colptr[j]:colptr[j + 1]]
+        slots = _padded_col_slots(colptr, grp, widths, F)
+        rws = np.where(slots >= 0, rows_pad[np.clip(slots, 0, rows.size)], -1)
         blocks.append(SolveBlock(cols=grp.astype(np.int32),
                                  slots=slots.astype(np.int32),
                                  rows=rws.astype(np.int32)))
@@ -190,13 +209,22 @@ def _build_solve_blocks(colptr, rows, levels, n_lat):
 
 
 def _forward_levels(colptr, rows, n_lat):
-    """Forward-solve level of each column (1 + longest incoming chain)."""
+    """Forward-solve level of each column (1 + longest incoming chain).
+
+    Vectorized wave iteration: each sweep pushes level[j]+1 onto all rows of
+    column j; converges after #levels sweeps.
+    """
     level = np.ones(n_lat, dtype=np.int64)
-    for j in range(n_lat):
-        s = rows[colptr[j] + 1:colptr[j + 1]]   # rows > j
-        if s.size:
-            np.maximum.at(level, s, level[j] + 1)
-    return level
+    col_of = np.repeat(np.arange(n_lat), np.diff(colptr))
+    offdiag = rows != col_of
+    src = col_of[offdiag]
+    dst = rows[offdiag]
+    while True:
+        new = level.copy()
+        np.maximum.at(new, dst, level[src] + 1)
+        if np.array_equal(new, level):
+            return level
+        level = new
 
 
 def build_likelihood_plan(spec, dtype=np.float32) -> LikelihoodPlan:

@@ -37,10 +37,15 @@ class LowerCSR:
     def nnz(self) -> int:
         return int(self.indices.size)
 
+    _keys: np.ndarray | None = None
+
     def flat_keys(self) -> np.ndarray:
-        """int64 keys row*n + col for vectorized slot lookup."""
-        rows = np.repeat(np.arange(self.n, dtype=np.int64), np.diff(self.indptr))
-        return rows * self.n + self.indices
+        """int64 keys row*n + col for vectorized slot lookup (cached)."""
+        if self._keys is None:
+            rows = np.repeat(np.arange(self.n, dtype=np.int64),
+                             np.diff(self.indptr))
+            self._keys = rows * self.n + self.indices
+        return self._keys
 
     def lookup(self, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
         """Slot of each (row, col) in the flat value array; -1 if absent."""
@@ -78,6 +83,11 @@ def symbolic_cholesky(A: LowerCSR):
     the union of etree paths from each A-nonzero column of row i up to i.
     """
     n = A.n
+    from . import csrc
+    native = csrc.symbolic_chol(A.indptr, A.indices, n)
+    if native is not None:
+        return native
+
     parent = np.full(n, -1, dtype=np.int64)
     flag = np.full(n, -1, dtype=np.int64)
     row_level = np.zeros(n, dtype=np.int64)
@@ -127,13 +137,23 @@ def cols_to_lower_csr(col_arrays: list[np.ndarray], n: int) -> LowerCSR:
 def col_levels_backward(col_arrays: list[np.ndarray]) -> np.ndarray:
     """Backward-solve level of each column: 1 + max level of rows in its pattern.
 
-    Rows in col j's pattern are ancestors of j, so a simple reverse sweep
-    (j = n-1 .. 0 visits children after parents) computes longest paths.
+    Longest path computed by vectorized wave iteration (converges in
+    #levels sweeps): level[j] = 1 + max(level[rows of col j]).
     """
     n = len(col_arrays)
+    counts = np.array([c.size for c in col_arrays], dtype=np.int64)
+    colptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=colptr[1:])
+    rows = (np.concatenate(col_arrays) if col_arrays
+            else np.empty(0, np.int64))
     level = np.ones(n, dtype=np.int64)
-    for j in range(n - 1, -1, -1):
-        s = col_arrays[j]
-        if s.size > 1:
-            level[j] = 1 + level[s[1:]].max()
-    return level
+    has_anc = counts > 1
+    while True:
+        gathered = level[rows]
+        # drop the diagonal (first entry of each column)
+        gathered[colptr[:-1]] = 0
+        segmax = np.maximum.reduceat(gathered, colptr[:-1])             if rows.size else np.zeros(n, np.int64)
+        new = np.where(has_anc, segmax + 1, 1)
+        if np.array_equal(new, level):
+            return level
+        level = new

@@ -25,12 +25,15 @@ def test_estimate_recovers_parameters(method):
     locs, data = _data()
     est = vecchia_estimate(data, locs, m=15, method=method, output_level=0,
                            max_iter=200)
-    # variance and nugget within a factor ~2; trend close
-    assert abs(est["beta_hat"][0] - 1.0) < 0.5
-    assert 0.5 < est["theta_hat"][0] / TRUE[0] < 2.5
+    # constant trend = sample mean (spatial correlation shifts it from 1.0)
+    assert abs(est["beta_hat"][0] - data.mean()) < 1e-8
+    assert 0.4 < est["theta_hat"][0] / TRUE[0] < 2.5
     assert 0.3 < est["theta_hat"][3] / NUG < 3.0
-    # fitted loglik should beat the starting point
-    assert np.isfinite(est["loglik"])
+    # the MLE must beat the true parameters in Vecchia loglik
+    from gpvecchia_tpu import vecchia_likelihood
+    ll_true = vecchia_likelihood(data - data.mean(), est["spec"],
+                                 TRUE, NUG)
+    assert est["loglik"] >= ll_true - 1e-6
 
 
 def test_estimate_and_predict_pipeline():
