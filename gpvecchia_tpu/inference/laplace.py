@@ -120,6 +120,14 @@ def _beta_model(likparms):
     }
 
 
+def _negbin_model(likparms):
+    # the reference keeps negative-binomial as a non-functional stub
+    # (R/vecchia_laplace_NR.R:327-336); kept here for surface parity
+    raise NotImplementedError(
+        "The negative-binomial likelihood is a stub in the reference "
+        "(R/vecchia_laplace_NR.R:327-336) and is not implemented.")
+
+
 LIKELIHOOD_MODELS = {
     "gaussian": _gauss_model,
     "logistic": _logistic_model,
@@ -127,6 +135,7 @@ LIKELIHOOD_MODELS = {
     "gamma": _gamma_model,
     "gamma_alt": _gamma_alt_model,
     "beta": _beta_model,
+    "negbinomial": _negbin_model,
 }
 
 

@@ -88,16 +88,31 @@ def compute_v_factor(plan, dev, col, nug_ord, dt):
                              dev["w_pair_slots"], vals)
         d_add = 1.0 / nug_ord[dev["w_diag_obs_pos"]]
         w_flat = w_flat.at[dev["w_diag_slots"]].add(d_add)
+        # one lax.scan per bucket of consecutive elimination levels
         for lv in plan.chol_levels:
-            col_slots = jnp.asarray(lv.col_slots)
-            ok = col_slots >= 0
-            cvals = gather0(w_flat, col_slots)
-            colv = cvals / jnp.sqrt(cvals[:, :1])   # colv[0] = sqrt(diag)
-            colv = jnp.where(ok, colv, 0.0)
-            v_flat = scatter_set(v_flat, jnp.asarray(lv.out_slots), colv)
-            if lv.pair_a.size:
-                upd = -colv[:, jnp.asarray(lv.pair_a)] * colv[:, jnp.asarray(lv.pair_b)]
-                w_flat = scatter_add(w_flat, jnp.asarray(lv.pair_slots), upd)
+            pa = jnp.asarray(lv.pair_a)
+            pb = jnp.asarray(lv.pair_b)
+
+            def body(carry, xs, pa=pa, pb=pb, has_pairs=bool(lv.pair_a.size)):
+                w_flat, v_flat = carry
+                col_slots, out_slots, pair_slots = xs
+                ok = col_slots >= 0
+                cvals = gather0(w_flat, col_slots)
+                diag = jnp.where(ok[:, :1], cvals[:, :1], 1.0)
+                colv = jnp.where(ok, cvals / jnp.sqrt(diag), 0.0)
+                v_flat = scatter_set(v_flat, out_slots, colv)
+                if has_pairs:
+                    upd = -colv[:, pa] * colv[:, pb]
+                    w_flat = scatter_add(w_flat, pair_slots, upd)
+                return (w_flat, v_flat), None
+
+            xs = (jnp.asarray(lv.col_slots), jnp.asarray(lv.out_slots),
+                  jnp.asarray(lv.pair_slots))
+            if lv.col_slots.shape[0] == 1:
+                (w_flat, v_flat), _ = body((w_flat, v_flat),
+                                           jax.tree.map(lambda a: a[0], xs))
+            else:
+                (w_flat, v_flat), _ = jax.lax.scan(body, (w_flat, v_flat), xs)
     return v_flat
 
 

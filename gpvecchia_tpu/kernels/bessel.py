@@ -137,11 +137,12 @@ def _cf2_kmu(mu, x):
     return kmu_s, kmu1_s
 
 
+@jax.custom_jvp
 def log_kv(nu, x):
     """log K_nu(x) elementwise, for nu >= 0 (broadcasts nu against x).
 
-    Differentiable in nu and x away from half-way split points of the order
-    decomposition; fixed iteration counts (TPU-friendly).
+    Differentiable in nu and x (custom JVP below); fixed iteration counts
+    (TPU-friendly).
     """
     x = jnp.asarray(x)
     dt = x.dtype
@@ -178,6 +179,40 @@ def log_kv(nu, x):
 
     logk, _ = jax.lax.fori_loop(1, _MAX_CLIMB, body, (logk0, r1))
     return jnp.where(k > 0, logk, log_kmu)
+
+
+def _log_kv_jvp(primals, tangents):
+    """Derivatives without storing loop residuals (critical for AD cost:
+    naive reverse-mode through the fixed-iteration loops would checkpoint
+    every iterate of million-element arrays).
+
+      d/dx  log K_nu(x) = nu/x - K_{nu+1}(x)/K_nu(x)   (exact recurrence)
+      d/dnu log K_nu(x) : central finite difference of two primal evals
+                          (no closed form; O(h^2) error, h ~ 3e-6 in f64)
+
+    Each term is a plain forward evaluation, so the backward pass costs a
+    constant multiple of the primal and compiles to the same fused loops.
+    """
+    nu, x = primals
+    dnu, dx = tangents
+    x = jnp.asarray(x)
+    dt = x.dtype
+    nu = jnp.asarray(nu, dt)
+    lk = log_kv(nu, x)
+    out_tan = jnp.zeros_like(lk)
+    if not isinstance(dx, jax.custom_derivatives.SymbolicZero):
+        lk1 = log_kv(nu + 1.0, x)
+        ratio = jnp.exp(lk1 - lk)          # K_{nu+1}/K_nu
+        glx = nu / jnp.maximum(x, jnp.asarray(1e-30, dt)) - ratio
+        out_tan = out_tan + glx * dx
+    if not isinstance(dnu, jax.custom_derivatives.SymbolicZero):
+        h = jnp.asarray(3e-6 if dt == jnp.float64 else 1e-3, dt)
+        gln = (log_kv(nu + h, x) - log_kv(jnp.abs(nu - h), x)) / (2.0 * h)
+        out_tan = out_tan + gln * dnu
+    return lk, out_tan
+
+
+log_kv.defjvp(_log_kv_jvp, symbolic_zeros=True)
 
 
 def kv(nu, x):

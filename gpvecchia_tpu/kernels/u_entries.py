@@ -17,10 +17,12 @@ The OpenMP row loop of the reference becomes vmap/sharding over the batch.
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
-from .covariance import pairwise_dist
+from .covariance import _safe_dist
 
 __all__ = ["u_entries", "build_cov_blocks"]
 
@@ -44,9 +46,16 @@ def build_cov_blocks(locs, NN, valid, cond, nug_point, kernel_fn, covparms,
     elif covmat is not None:
         C = covmat[NN[:, :, None], NN[:, None, :]]
     else:
+        # evaluate the kernel only on the packed upper triangle (the blocks
+        # are symmetric) -- halves the cost of expensive kernels (general-nu
+        # Matern), then scatter back to full (n, m+1, m+1)
+        iu, ju = np.triu_indices(mp1)
         pts = locs[NN]                       # (n, m+1, d)
-        dist = pairwise_dist(pts)
-        C = kernel_fn(dist, covparms)
+        diff = pts[:, iu, :] - pts[:, ju, :]
+        dist = _safe_dist(jnp.sum(diff * diff, axis=-1))   # (n, P)
+        Cp = kernel_fn(dist, covparms)
+        C = jnp.zeros((NN.shape[0], mp1, mp1), Cp.dtype)
+        C = C.at[:, iu, ju].set(Cp).at[:, ju, iu].set(Cp)
     # response-conditioned neighbors contribute their nugget on the diagonal
     nug_nb = jnp.where(valid & ~cond, nug_point[NN], 0.0)
     C = C + jnp.eye(mp1, dtype=C.dtype) * nug_nb[:, None, :]

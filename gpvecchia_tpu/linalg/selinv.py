@@ -4,7 +4,8 @@ Computes Z = (V V^T)^{-1} restricted to the sparsity pattern of V: the
 posterior-variance path (reference SelInv -> sparseinv::Takahashi_Davis,
 /root/reference/R/vecchia_prediction.R:193-197).  The classic recursion is
 sequential column-by-column; here columns are grouped by elimination-tree
-level (ancestors first), each level one batched gather/compute/scatter:
+level (ancestors first), levels are bucketed, and each bucket runs as one
+lax.scan of batched gather/compute/scatter steps:
 
   for column j with pattern s_j = [j, a_1, ..., a_F]:
     offd_i = - (sum_k V[a_k, j] * Z[a_k, a_i]) / V[j,j]          (i = 1..F)
@@ -20,6 +21,7 @@ from __future__ import annotations
 import dataclasses
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .sparse import scatter_set
@@ -29,25 +31,23 @@ __all__ = ["SelInvLevel", "build_selinv_levels", "selected_inverse"]
 
 @dataclasses.dataclass
 class SelInvLevel:
+    """A bucket of consecutive levels (ancestors first)."""
     F: int
-    slots: np.ndarray       # (L, F) v/z flat slots of column j (diag first), -1 pad
-    pair_slots: np.ndarray  # (L, F-1, F-1) z-flat slots of Z[a_k, a_i], -1 -> 0
+    slots: np.ndarray       # (nlev, L, F) v/z flat slots of column j (diag first), -1 pad
+    pair_slots: np.ndarray  # (nlev, L, F-1, F-1) z-flat slots of Z[a_k, a_i], -1 -> 0
 
 
 def build_selinv_levels(plan):
-    """Host-side: level-grouped slot maps for the Takahashi recursion."""
-    from ..symbolic import csr_from_coo_lower
-
+    """Host-side: bucket-grouped slot maps for the Takahashi recursion."""
     colptr = plan.v_colptr
     rows = plan.v_rows.astype(np.int64)
     n = plan.n_lat
-    # V pattern as lower CSR for (row, col) -> flat slot lookup; the flat slot
-    # must match the column storage, so build the lookup directly
+    # (row, col) -> flat slot lookup over the V column storage
     col_of = np.repeat(np.arange(n), np.diff(colptr))
     keys = rows * n + col_of
     order = np.argsort(keys, kind="stable")
     sorted_keys = keys[order]
-    slot_of = order  # slot_of[i] = flat index of sorted key i
+    slot_of = order
 
     def lookup(r, c):
         q = r.astype(np.int64) * n + c.astype(np.int64)
@@ -56,29 +56,30 @@ def build_selinv_levels(plan):
         ok = sorted_keys[pos_c] == q
         return np.where(ok, slot_of[pos_c], -1)
 
-    # reuse backward levels (ancestors first)
+    # reuse the (already bucketed) backward levels: ancestors first
     out = []
     for blk in plan.bwd_blocks:
-        cols = blk.cols.astype(np.int64)
-        widths = colptr[cols + 1] - colptr[cols]
+        nlev, L = blk.cols.shape
+        cols_b = blk.cols.astype(np.int64)
+        valid = cols_b >= 0
+        cols_c = np.where(valid, cols_b, 0)
+        widths = np.where(valid, colptr[cols_c + 1] - colptr[cols_c], 0)
         F = int(widths.max())
-        L = cols.size
-        slots = np.full((L, F), -1, dtype=np.int64)
-        anc = np.full((L, max(F - 1, 1)), -1, dtype=np.int64)
-        for b, j in enumerate(cols):
-            w = int(widths[b])
-            slots[b, :w] = np.arange(colptr[j], colptr[j + 1])
-            anc[b, :w - 1] = rows[colptr[j] + 1:colptr[j + 1]]
+        ar = np.arange(F)[None, None, :]
+        wmask = ar < widths[:, :, None]
+        slots = np.where(wmask, colptr[cols_c][:, :, None] + ar, -1)
         if F > 1:
+            anc = np.where(wmask[:, :, 1:],
+                           rows[np.clip(slots[:, :, 1:], 0, rows.size - 1)], -1)
             av = anc >= 0
             aa = np.where(av, anc, 0)
-            hi = np.maximum(aa[:, :, None], aa[:, None, :])
-            lo = np.minimum(aa[:, :, None], aa[:, None, :])
-            ps = lookup(hi.ravel(), lo.ravel()).reshape(L, F - 1, F - 1)
-            ok = av[:, :, None] & av[:, None, :]
+            hi = np.maximum(aa[:, :, :, None], aa[:, :, None, :])
+            lo = np.minimum(aa[:, :, :, None], aa[:, :, None, :])
+            ps = lookup(hi.ravel(), lo.ravel()).reshape(nlev, L, F - 1, F - 1)
+            ok = av[:, :, :, None] & av[:, :, None, :]
             ps = np.where(ok, ps, -1)
         else:
-            ps = np.empty((L, 0, 0), dtype=np.int64)
+            ps = np.empty((nlev, L, 0, 0), dtype=np.int64)
         out.append(SelInvLevel(F=F, slots=slots.astype(np.int32),
                                pair_slots=ps.astype(np.int32)))
     return out
@@ -86,14 +87,13 @@ def build_selinv_levels(plan):
 
 def selected_inverse(v_flat, levels, n_nnz):
     """Z values on the V pattern (flat, column storage) from V values."""
-    z_flat = jnp.zeros(n_nnz, v_flat.dtype)
-    for lv in levels:
-        slots = jnp.asarray(lv.slots)
+
+    def body(z_flat, xs):
+        slots, ps = xs
         ok = slots >= 0
         vvals = jnp.where(ok, v_flat[jnp.clip(slots, 0)], 0.0)
-        diag = vvals[:, 0]
-        if lv.F > 1:
-            ps = jnp.asarray(lv.pair_slots)
+        diag = jnp.where(ok[:, 0], vvals[:, 0], 1.0)
+        if ps.shape[-1] > 0:
             Zsub = jnp.where(ps >= 0, z_flat[jnp.clip(ps, 0)], 0.0)
             lcol = vvals[:, 1:]
             offd = -jnp.einsum("bki,bk->bi", Zsub, lcol) / diag[:, None]
@@ -104,4 +104,13 @@ def selected_inverse(v_flat, levels, n_nnz):
         else:
             zcol = (1.0 / (diag * diag))[:, None]
         z_flat = scatter_set(z_flat, slots, jnp.where(ok, zcol, 0.0))
+        return z_flat, None
+
+    z_flat = jnp.zeros(n_nnz, v_flat.dtype)
+    for lv in levels:
+        xs = (jnp.asarray(lv.slots), jnp.asarray(lv.pair_slots))
+        if lv.slots.shape[0] == 1:
+            z_flat, _ = body(z_flat, jax.tree.map(lambda a: a[0], xs))
+        else:
+            z_flat, _ = jax.lax.scan(body, z_flat, xs)
     return z_flat

@@ -28,7 +28,8 @@ __all__ = ["LikelihoodPlan", "build_likelihood_plan", "get_plan"]
 
 @dataclasses.dataclass
 class CholLevel:
-    """One dependency level of the right-looking sparse Cholesky.
+    """A BUCKET of consecutive dependency levels of the right-looking sparse
+    Cholesky, padded to a common (L, F) shape with a leading n_levels axis.
 
     Columns within a level are independent: read their (already fully
     updated) values from w_flat, normalize, write to v_flat, and scatter the
@@ -36,22 +37,43 @@ class CholLevel:
     filled pattern this is the exact factorization; on the unfilled pattern
     (updates outside the pattern dropped) it is exactly IC0
     (/root/reference/src/ic0.cpp:43-64).
+
+    Levels are bucketed (consecutive levels of similar width padded together)
+    so the device executes one lax.scan per bucket instead of one unrolled
+    step per level — compile time scales with #buckets (~log n), not #levels.
     """
     F: int
-    cols: np.ndarray        # (L,) global rev column ids
-    col_slots: np.ndarray   # (L, F) slots of A[s_j, j] in w_flat, -1 pad
-    out_slots: np.ndarray   # (L, F) target slots in v_flat, -1 pad
-    pair_slots: np.ndarray  # (L, P) slots of (a,b) pairs (a,b in s_j \ {j}) in w_flat
+    col_slots: np.ndarray   # (nlev, L, F) slots of A[s_j, j] in w_flat, -1 pad
+    out_slots: np.ndarray   # (nlev, L, F) target slots in v_flat, -1 pad
+    pair_slots: np.ndarray  # (nlev, L, P) slots of (a,b) pairs (a,b in s_j \ {j})
     pair_a: np.ndarray      # (P,) first slot index (1..F-1) of each pair
     pair_b: np.ndarray      # (P,) second slot index
 
 
 @dataclasses.dataclass
 class SolveBlock:
-    """One dependency level of the sparse triangular solve."""
-    cols: np.ndarray        # (L,) column ids at this level
-    slots: np.ndarray       # (L, F) v_flat slots of each column (diag first), -1 pad
-    rows: np.ndarray        # (L, F) rev-row indices (diag first), -1 pad
+    """A bucket of consecutive dependency levels of the triangular solve."""
+    cols: np.ndarray        # (nlev, L) column ids, -1 pad
+    slots: np.ndarray       # (nlev, L, F) v_flat slots per column (diag first), -1 pad
+    rows: np.ndarray        # (nlev, L, F) rev-row indices (diag first), -1 pad
+
+
+def _bucket_bounds(sizes):
+    """Partition a sequence of level sizes into consecutive buckets.
+
+    A new bucket starts when the ceil-pow2 of the level size changes; the
+    padding waste within a bucket is therefore < 2x, and #buckets is
+    O(log(max L)) for the typical monotone level-size profile.
+    """
+    bounds = [0]
+    key = None
+    for i, s in enumerate(sizes):
+        k = 1 << int(np.ceil(np.log2(max(int(s), 1))))
+        if key is not None and k != key:
+            bounds.append(i)
+        key = k
+    bounds.append(len(sizes))
+    return bounds
 
 
 @dataclasses.dataclass
@@ -137,43 +159,51 @@ def _build_chol_levels(chol_cols, col_patterns, colptr, W: LowerCSR,
             level = new
     levels = level[chol_cols - first]
 
-    out = []
+    # per-level column groups (in level order)
     order = np.argsort(levels, kind="stable")
     lv_sorted = levels[order]
     bounds = np.flatnonzero(np.diff(lv_sorted)) + 1
-    for grp_idx in np.split(order, bounds):
-        ids = chol_cols[grp_idx]
-        widths = np.array([col_patterns[j].size for j in ids])
-        F = int(widths.max())
-        L = ids.size
-        ar = np.arange(F)[None, :]
-        wmask = ar < widths[:, None]
-        out_slots = np.where(wmask, colptr[ids][:, None] + ar, -1)
-        # gather padded column patterns from the flat v_rows layout
-        all_rows = np.concatenate([col_patterns[j] for j in ids])
-        rows_pad = np.full((L, F), -1, dtype=np.int64)
-        rows_pad[wmask] = all_rows - rev_offset        # A-space
-        jj = np.where(wmask, np.repeat(ids, 1)[:, None] - rev_offset, 0)
+    groups = [chol_cols[g] for g in np.split(order, bounds)]
+
+    out = []
+    bb = _bucket_bounds([g.size for g in groups])
+    for s, e in zip(bb[:-1], bb[1:]):
+        bucket = groups[s:e]
+        nlev = len(bucket)
+        L = max(g.size for g in bucket)
+        F = max(int(col_patterns[j].size) for g in bucket for j in g)
+        rows_pad = np.full((nlev, L, F), -1, dtype=np.int64)     # A-space
+        out_slots = np.full((nlev, L, F), -1, dtype=np.int64)
+        jj = np.full((nlev, L), -1, dtype=np.int64)              # A-space col
+        for li, ids in enumerate(bucket):
+            jj[li, :ids.size] = ids - rev_offset
+            for bi, j in enumerate(ids):
+                pat = col_patterns[j]
+                rows_pad[li, bi, :pat.size] = pat - rev_offset
+                out_slots[li, bi, :pat.size] = colptr[j] + np.arange(pat.size)
+        wmask = rows_pad >= 0
         col_slots = W.lookup(np.where(wmask, rows_pad, 0).ravel(),
-                             jj.ravel()).reshape(L, F)
+                             np.broadcast_to(np.where(jj < 0, 0, jj)[:, :, None],
+                                             rows_pad.shape).ravel()
+                             ).reshape(nlev, L, F)
         col_slots = np.where(wmask, col_slots, -1)
-        assert np.all(col_slots[rows_pad >= 0] >= 0), \
+        assert np.all(col_slots[wmask] >= 0), \
             "A[s_j, j] must lie in the factorization pattern"
-        # Schur update pairs among s_j \ {j}
         if F > 1:
             ia, ib = np.tril_indices(F - 1)   # a >= b over slots 1..F-1
             pa = (ia + 1).astype(np.int64)
             pb = (ib + 1).astype(np.int64)
-            va = rows_pad[:, pa]
-            vb = rows_pad[:, pb]
+            va = rows_pad[:, :, pa]
+            vb = rows_pad[:, :, pb]
             ok = (va >= 0) & (vb >= 0)
             pair_slots = W.lookup(np.where(ok, va, 0).ravel(),
-                                  np.where(ok, vb, 0).ravel()).reshape(L, pa.size)
+                                  np.where(ok, vb, 0).ravel()
+                                  ).reshape(nlev, L, pa.size)
             pair_slots = np.where(ok, pair_slots, -1)
         else:
             pa = pb = np.empty(0, dtype=np.int64)
-            pair_slots = np.empty((L, 0), dtype=np.int64)
-        out.append(CholLevel(F=F, cols=ids.astype(np.int32),
+            pair_slots = np.empty((nlev, L, 0), dtype=np.int64)
+        out.append(CholLevel(F=F,
                              col_slots=col_slots.astype(np.int32),
                              out_slots=out_slots.astype(np.int32),
                              pair_slots=pair_slots.astype(np.int32),
@@ -191,18 +221,28 @@ def _padded_col_slots(colptr, grp, widths, F):
 
 
 def _build_solve_blocks(colptr, rows, levels, n_lat):
-    """Group V columns by dependency level into padded SolveBlocks."""
-    blocks = []
+    """Group V columns by dependency level into bucketed SolveBlocks."""
     order = np.argsort(levels, kind="stable")
     lv_sorted = levels[order]
     bounds = np.flatnonzero(np.diff(lv_sorted)) + 1
+    groups = np.split(order, bounds)
     rows_pad = np.concatenate([rows, [-1]])
-    for grp in np.split(order, bounds):
-        widths = colptr[grp + 1] - colptr[grp]
-        F = int(widths.max())
-        slots = _padded_col_slots(colptr, grp, widths, F)
+
+    blocks = []
+    bb = _bucket_bounds([g.size for g in groups])
+    for s, e in zip(bb[:-1], bb[1:]):
+        bucket = groups[s:e]
+        nlev = len(bucket)
+        L = max(g.size for g in bucket)
+        F = int(max((colptr[g + 1] - colptr[g]).max() for g in bucket))
+        cols = np.full((nlev, L), -1, dtype=np.int64)
+        slots = np.full((nlev, L, F), -1, dtype=np.int64)
+        for li, grp in enumerate(bucket):
+            widths = colptr[grp + 1] - colptr[grp]
+            cols[li, :grp.size] = grp
+            slots[li, :grp.size] = _padded_col_slots(colptr, grp, widths, F)
         rws = np.where(slots >= 0, rows_pad[np.clip(slots, 0, rows.size)], -1)
-        blocks.append(SolveBlock(cols=grp.astype(np.int32),
+        blocks.append(SolveBlock(cols=cols.astype(np.int32),
                                  slots=slots.astype(np.int32),
                                  rows=rws.astype(np.int32)))
     return blocks
