@@ -232,10 +232,10 @@ def sample_posterior(spec, z, nuggets=None, covmodel="matern",
     `mesh` when given.  Returns dict with 'samples' (chains, draws, dim) on
     the original (exp) scale, 'accept_stats', 'step_size'.
     """
-    from ..inference.likelihood import loglik_fn
+    from ..inference.likelihood import loglik_core
 
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    fn = loglik_fn(spec, covmodel, dtype=dtype)
+    core, dev = loglik_core(spec, covmodel, dtype=dtype)
     z = jnp.asarray(z, dtype)
     n_obs = spec.n_obs
 
@@ -257,32 +257,38 @@ def sample_posterior(spec, z, nuggets=None, covmodel="matern",
         def log_prior(lg):
             return -0.5 * jnp.sum((lg - center) ** 2 / 4.0)
 
-    def logpost(lg):
-        theta = jnp.exp(lg)
-        if estimate_nugget and nug_fixed is None:
-            ll = fn(z, theta[:dim - 1],
-                    jnp.broadcast_to(theta[dim - 1], (n_obs,)))
-        else:
-            ll = fn(z, theta, nug_fixed if nug_fixed is not None
-                    else jnp.full((n_obs,), 1e-8, dtype))
-        return ll + log_prior(lg)
+    def _run(chain_keys, theta0, dev):
+        # dev is a tracer argument here, so the logpost closure stays inside
+        # this trace (no executable-baked constants)
+        def logpost(lg):
+            theta = jnp.exp(lg)
+            if estimate_nugget and nug_fixed is None:
+                ll = core(dev, z, theta[:dim - 1],
+                          jnp.broadcast_to(theta[dim - 1], (n_obs,)))
+            else:
+                ll = core(dev, z, theta, nug_fixed if nug_fixed is not None
+                          else jnp.full((n_obs,), 1e-8, dtype))
+            return ll + log_prior(lg)
 
+        return jax.vmap(
+            lambda k, t0: run_hmc(logpost, t0, k, num_warmup=num_warmup,
+                                  num_samples=num_samples,
+                                  algorithm=algorithm, **hmc_kwargs)
+        )(chain_keys, theta0)
+
+    run = jax.jit(_run)
     key = jax.random.PRNGKey(seed)
     chain_keys = jax.random.split(key, num_chains)
     jitter = jax.random.normal(jax.random.PRNGKey(seed + 1),
                                (num_chains, dim), dtype) * 0.1
     theta0 = jnp.asarray(np.log(theta_ini), dtype)[None, :] + jitter
 
-    run = jax.jit(jax.vmap(
-        lambda k, t0: run_hmc(logpost, t0, k, num_warmup=num_warmup,
-                              num_samples=num_samples, algorithm=algorithm,
-                              **hmc_kwargs)))
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         sh = NamedSharding(mesh, P("chains"))
         chain_keys = jax.device_put(chain_keys, sh)
         theta0 = jax.device_put(theta0, sh)
-    samples_log, astats, eps = run(chain_keys, theta0)
+    samples_log, astats, eps = run(chain_keys, theta0, dev)
     return {"samples": np.exp(np.asarray(samples_log)),
             "samples_log": np.asarray(samples_log),
             "accept_stats": np.asarray(astats),

@@ -65,13 +65,20 @@ def vecchia_estimate(data, locs, X="constant", m=20, covmodel="matern",
     theta_ini = np.asarray(theta_ini, np.float64)
     n_par = len(theta_ini)
 
-    fn = loglik_fn(spec, covmodel)
+    from ..inference.likelihood import loglik_core
+    core, dev = loglik_core(spec, covmodel)
     zc = jnp.asarray(z)
     is_matern = isinstance(covmodel, str) and covmodel == "matern"
 
-    def neg_loglik(lg):
+    def _neg_loglik(lg, dev):
         theta = jnp.exp(lg)
-        return -fn(zc, theta[:n_par - 1], theta[n_par - 1])
+        nugs = jnp.broadcast_to(theta[n_par - 1], (spec.n_obs,))
+        return -core(dev, zc, theta[:n_par - 1], nugs)
+
+    _neg_jit = jax.jit(_neg_loglik)
+
+    def neg_loglik(lg):
+        return _neg_jit(lg, dev)
 
     if method == "nelder-mead":
         from scipy.optimize import minimize
@@ -90,12 +97,13 @@ def vecchia_estimate(data, locs, X="constant", m=20, covmodel="matern",
         lg_hat, n_iter, converged = res.x, res.nit, res.success
     elif method == "lbfgs":
         from scipy.optimize import minimize
-        grad_fn = jax.jit(jax.grad(neg_loglik))
+        _vg = jax.jit(jax.value_and_grad(_neg_loglik))
 
         def fg(lg):
             lg = jnp.asarray(lg)
-            v = float(neg_loglik(lg))
-            g = np.asarray(grad_fn(lg), np.float64)
+            v, g = _vg(lg, dev)
+            v = float(v)
+            g = np.asarray(g, np.float64)
             if not np.isfinite(v):
                 return 1e10, np.zeros_like(g)
             return v, np.where(np.isfinite(g), g, 0.0)
@@ -112,18 +120,17 @@ def vecchia_estimate(data, locs, X="constant", m=20, covmodel="matern",
         opt = optax.adam(1e-2)
         lg = jnp.asarray(np.log(theta_ini))
         state = opt.init(lg)
-        vg = jax.jit(jax.value_and_grad(neg_loglik))
 
         @jax.jit
-        def step(lg, state):
-            v, g = vg(lg)
+        def step(lg, state, dev):
+            v, g = jax.value_and_grad(_neg_loglik)(lg, dev)
             updates, state = opt.update(g, state)
             return optax.apply_updates(lg, updates), state, v
 
         last = np.inf
         n_iter = 0
         for i in range(max_iter):
-            lg, state, v = step(lg, state)
+            lg, state, v = step(lg, state, dev)
             n_iter = i + 1
             if abs(float(v) - last) < 1e-9 * (abs(last) + 1):
                 break

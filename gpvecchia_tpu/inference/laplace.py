@@ -154,14 +154,14 @@ def _vl_posterior_fn(spec, model, covmodel, obs_mask, dtype):
     hess, score = model["hess"], model["score"]
     obs_idx = jnp.asarray(np.flatnonzero(obs_mask))
 
-    def mu_obs_from(pseudo_full, nug_full, covparms):
-        mu_ord, v_flat, _, _ = _posterior_core(
-            plan, kernel_fn, covmat, dev, pseudo_full, covparms, nug_full)
-        mu_orig = jnp.zeros(n_locs, dtype).at[ord_j].set(mu_ord)
-        return mu_orig[:n_obs_locs]
-
     @jax.jit
-    def run(z_obs, covparms, y0, prior_obs, max_iter, convg):
+    def _run(dev, z_obs, covparms, y0, prior_obs, max_iter, convg):
+        def mu_obs_from(pseudo_full, nug_full, covparms):
+            mu_ord, v_flat, _, _ = _posterior_core(
+                plan, kernel_fn, covmat, dev, pseudo_full, covparms, nug_full)
+            mu_orig = jnp.zeros(n_locs, dtype).at[ord_j].set(mu_ord)
+            return mu_orig[:n_obs_locs]
+
         def pseudo_of(y):
             D = 1.0 / hess(y, z_obs)
             u = score(y, z_obs)
@@ -198,6 +198,9 @@ def _vl_posterior_fn(spec, model, covmodel, obs_mask, dtype):
         p_full, nug_full, D, u = pseudo_of(y)
         mu_obs = mu_obs_from(p_full, nug_full, covparms)
         return y, delta, iters, bad, p_full, nug_full, D, mu_obs
+
+    def run(z_obs, covparms, y0, prior_obs, max_iter, convg):
+        return _run(dev, z_obs, covparms, y0, prior_obs, max_iter, convg)
 
     return run
 

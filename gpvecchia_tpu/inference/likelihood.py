@@ -21,11 +21,18 @@ from ..linalg.sparse import gather0, scatter_add, scatter_set
 from ..linalg.trisolve import forward_solve
 from ..plan import get_plan
 
-__all__ = ["vecchia_likelihood", "loglik_fn", "compute_v_factor"]
+__all__ = ["vecchia_likelihood", "loglik_fn", "loglik_core",
+           "compute_v_factor"]
 
 
 def _device_arrays(plan):
-    """jnp versions of the plan's index arrays (cached)."""
+    """Device copies of the plan's index arrays (cached).
+
+    These are passed to the jitted kernels as ARGUMENTS (one shared buffer),
+    never captured as closure constants: constants get baked into the
+    executable and XLA constant-folds gathers like locs[NN] into
+    O(n * (m+1)^2) materialized arrays at compile time.
+    """
     if "dev" in plan.compiled:
         return plan.compiled["dev"]
     dt = plan.dtype
@@ -199,6 +206,27 @@ def _loglik_core(plan, kernel_fn, covmat, dev, z, covparms, nuggets, sel=None):
     return -0.5 * neg2
 
 
+def loglik_core(spec, covmodel="matern", dtype=None):
+    """(core, dev) for composition under jit/grad/vmap.
+
+    ``core(dev, z, covparms, nuggets)`` is un-jitted; callers must pass the
+    ``dev`` index-array pytree through their own jit boundary as an ARGUMENT
+    (closure capture would bake it into the executable as constants and
+    invite XLA to constant-fold O(n m^2)-sized gathers at compile time).
+    """
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    plan = get_plan(spec, dtype)
+    covmat, sel, kernel_fn = _dispatch_covmodel(spec, covmodel, dtype)
+    dev = _device_arrays(plan)
+
+    def core(dev, z, covparms, nuggets):
+        return _loglik_core(plan, kernel_fn, covmat, dev, z, covparms,
+                            nuggets, sel=sel)
+
+    return core, dev
+
+
 def loglik_fn(spec, covmodel="matern", dtype=None):
     """Compiled loglik(z, covparms, nuggets) for a given spec (cached)."""
     if dtype is None:
@@ -207,13 +235,11 @@ def loglik_fn(spec, covmodel="matern", dtype=None):
     key = ("loglik", str(covmodel), np.dtype(dtype).name)
     if key in plan.compiled:
         return plan.compiled[key]
-    covmat, sel, kernel_fn = _dispatch_covmodel(spec, covmodel, dtype)
-    dev = _device_arrays(plan)
+    core, dev = loglik_core(spec, covmodel, dtype)
+    _fn = jax.jit(core)
 
-    @jax.jit
     def fn(z, covparms, nuggets):
-        return _loglik_core(plan, kernel_fn, covmat, dev, z, covparms, nuggets,
-                            sel=sel)
+        return _fn(dev, z, covparms, nuggets)
 
     plan.compiled[key] = fn
     return fn

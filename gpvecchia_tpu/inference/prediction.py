@@ -73,10 +73,13 @@ def _pred_fns(spec, covmodel, dtype=None):
     dev = _device_arrays(plan)
 
     @jax.jit
-    def mean_fn(z, covparms, nuggets):
+    def _mean_fn(dev, z, covparms, nuggets):
         mu, v_flat, col, nug_ord = _posterior_core(
             plan, kernel_fn, covmat, dev, z, covparms, nuggets, sel=sel)
         return mu, v_flat
+
+    def mean_fn(z, covparms, nuggets):
+        return _mean_fn(dev, z, covparms, nuggets)
 
     selinv_levels = plan.compiled.get("selinv_levels")
     if selinv_levels is None:

@@ -19,7 +19,8 @@ from ..inference.likelihood import (_device_arrays, _dispatch_covmodel,
                                     _loglik_core)
 from ..plan import get_plan
 
-__all__ = ["make_mesh", "sharded_loglik_fn", "shard_rows"]
+__all__ = ["make_mesh", "sharded_loglik_fn", "sharded_loglik_core",
+           "shard_rows"]
 
 _ROW_KEYS = ("NN", "valid", "cond", "nb_resp", "nb_obs_pos", "has_lat",
              "latent_rank", "obs_pos", "w_pair_slots")
@@ -63,11 +64,14 @@ def shard_rows(mesh, plan, dev):
     return out
 
 
-def sharded_loglik_fn(spec, covmodel="matern", mesh=None, dtype=None):
-    """loglik(z, covparms, nuggets) with rows sharded over the mesh.
+def sharded_loglik_core(spec, covmodel="matern", mesh=None, dtype=None):
+    """(core, sharded_dev): un-jitted loglik core + row-sharded index arrays.
 
-    Padded rows are masked inside the core (padded NN rows are invalid and
-    carry no latent/obs flags, so they contribute exactly zero).
+    ``core(dev, z, covparms, nuggets)``; callers compose it under their own
+    jit/grad/vmap and MUST pass ``sharded_dev`` through the jit boundary as
+    an argument (a closure capture would bake the arrays into the executable
+    as replicated constants, losing the sharding and inviting giant
+    compile-time constant folds).
     """
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
@@ -79,9 +83,23 @@ def sharded_loglik_fn(spec, covmodel="matern", mesh=None, dtype=None):
     # pad + shard row-space arrays; note locs stays replicated (n x d is small)
     sharded = shard_rows(mesh, plan, dev)
 
-    @jax.jit
-    def fn(z, covparms, nuggets):
-        return _loglik_core(plan, kernel_fn, covmat, sharded, z, covparms,
+    def core(dev, z, covparms, nuggets):
+        return _loglik_core(plan, kernel_fn, covmat, dev, z, covparms,
                             nuggets, sel=sel)
+
+    return core, sharded
+
+
+def sharded_loglik_fn(spec, covmodel="matern", mesh=None, dtype=None):
+    """loglik(z, covparms, nuggets) with rows sharded over the mesh.
+
+    Padded rows are masked inside the core (padded NN rows are invalid and
+    carry no latent/obs flags, so they contribute exactly zero).
+    """
+    core, sharded = sharded_loglik_core(spec, covmodel, mesh, dtype)
+    _fn = jax.jit(core)
+
+    def fn(z, covparms, nuggets):
+        return _fn(sharded, z, covparms, nuggets)
 
     return fn
