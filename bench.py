@@ -60,7 +60,7 @@ def main():
     plan = get_plan(spec, dtype)
     t2 = time.time()
     print(f"[bench] spec {t1 - t0:.1f}s plan {t2 - t1:.1f}s "
-          f"w_nnz={plan.w_nnz} v_nnz={plan.v_nnz} "
+          f"v_nnz={plan.v_nnz} "
           f"fwd_levels={len(plan.fwd_blocks)}", file=sys.stderr)
 
     fn = loglik_fn(spec, "matern", dtype=dtype)
@@ -87,7 +87,7 @@ def main():
     per_eval = (t6 - t5) / n_evals
     evals_per_sec = 1.0 / per_eval
 
-    ref_sec = modeled_reference_seconds(n, m, plan.w_nnz)
+    ref_sec = modeled_reference_seconds(n, m, plan.v_nnz)
     vs_baseline = ref_sec / per_eval
     print(f"[bench] per-eval {per_eval * 1000:.2f} ms; modeled reference "
           f"{ref_sec * 1000:.1f} ms; total bench {time.time() - t_start:.0f}s",

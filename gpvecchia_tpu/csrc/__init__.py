@@ -52,6 +52,8 @@ def get_lib():
             lib.symbolic_chol_count.restype = ctypes.c_int64
             lib.symbolic_chol_fill.argtypes = [i64p, i64p, ctypes.c_int64,
                                                i64p, i64p, i64p]
+            lib.solve_levels_fwd.argtypes = [i64p, i64p, ctypes.c_int64, i64p]
+            lib.solve_levels_bwd.argtypes = [i64p, i64p, ctypes.c_int64, i64p]
             _lib = lib
         except Exception:
             _lib = None
@@ -109,3 +111,37 @@ def symbolic_chol(indptr: np.ndarray, indices: np.ndarray, n: int):
     lib.symbolic_chol_fill(indptr, indices, n, colptr, rows, row_level)
     col_arrays = [rows[colptr[j]:colptr[j + 1]] for j in range(n)]
     return col_arrays, parent, row_level
+
+
+def symbolic_chol_flat(indptr: np.ndarray, indices: np.ndarray, n: int):
+    """(colptr, rows, row_level) CSC of the Cholesky fill; None w/o lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int64)
+    parent = np.empty(n, dtype=np.int64)
+    colcount = np.empty(n, dtype=np.int64)
+    lib.symbolic_chol_count(indptr, indices, n, parent, colcount)
+    colptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(colcount, out=colptr[1:])
+    rows = np.empty(colptr[-1], dtype=np.int64)
+    row_level = np.empty(n, dtype=np.int64)
+    lib.symbolic_chol_fill(indptr, indices, n, colptr, rows, row_level)
+    return colptr, rows, row_level
+
+
+def solve_levels(colptr: np.ndarray, rows: np.ndarray, n: int,
+                 direction: str):
+    """Per-column dependency levels of a triangular solve; None w/o lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    colptr = np.ascontiguousarray(colptr, dtype=np.int64)
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    level = np.empty(n, dtype=np.int64)
+    if direction == "fwd":
+        lib.solve_levels_fwd(colptr, rows, n, level)
+    else:
+        lib.solve_levels_bwd(colptr, rows, n, level)
+    return level

@@ -383,4 +383,34 @@ void symbolic_chol_fill(const int64_t* indptr, const int64_t* indices,
   }
 }
 
+// Forward-solve dependency levels over a lower-triangular CSC factor
+// (colptr, rows; diag first, rows ascending): level[j] = 1 + max level of
+// the columns k < j appearing in row j.  Single ascending pass: column j's
+// finished level pushes level[j]+1 onto every below-diagonal row.  O(nnz).
+void solve_levels_fwd(const int64_t* colptr, const int64_t* rows, int64_t n,
+                      int64_t* level) {
+  for (int64_t j = 0; j < n; ++j) level[j] = 1;
+  for (int64_t j = 0; j < n; ++j) {
+    int64_t lj = level[j] + 1;
+    for (int64_t p = colptr[j]; p < colptr[j + 1]; ++p) {
+      int64_t i = rows[p];
+      if (i != j && level[i] < lj) level[i] = lj;
+    }
+  }
+}
+
+// Backward-solve dependency levels: level[j] = 1 + max level of rows below
+// the diagonal in column j.  Single descending pass, O(nnz).
+void solve_levels_bwd(const int64_t* colptr, const int64_t* rows, int64_t n,
+                      int64_t* level) {
+  for (int64_t j = n - 1; j >= 0; --j) {
+    int64_t lv = 1;
+    for (int64_t p = colptr[j]; p < colptr[j + 1]; ++p) {
+      int64_t i = rows[p];
+      if (i != j && level[i] + 1 > lv) lv = level[i] + 1;
+    }
+    level[j] = lv;
+  }
+}
+
 }  // extern "C"

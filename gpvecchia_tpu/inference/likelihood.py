@@ -17,7 +17,7 @@ import numpy as np
 
 from ..kernels.covariance import make_kernel_fn
 from ..kernels.u_entries import u_entries
-from ..linalg.sparse import gather0, scatter_add, scatter_set
+from ..linalg.sparse import gather0, pair_sum, scatter_set_unique
 from ..linalg.trisolve import forward_solve
 from ..plan import get_plan
 
@@ -49,20 +49,23 @@ def _device_arrays(plan):
         "latent_rank": jnp.asarray(plan.latent_rank),
         "obs_pos": jnp.asarray(plan.obs_pos),
     }
-    if plan.w_pair_slots is not None:
-        dev.update(
-            w_pair_slots=jnp.asarray(plan.w_pair_slots),
-            pair_a=jnp.asarray(plan.pair_a),
-            pair_b=jnp.asarray(plan.pair_b),
-            w_diag_slots=jnp.asarray(plan.w_diag_slots),
-            w_diag_obs_pos=jnp.asarray(plan.w_diag_obs_pos),
-        )
     dev.update(
         v_rows=jnp.asarray(plan.v_rows),
         v_diag_slots=jnp.asarray(plan.v_diag_slots),
         dir_slots=jnp.asarray(plan.dir_slots),
         dir_pt=jnp.asarray(plan.dir_pt),
         dir_nn=jnp.asarray(plan.dir_nn),
+        w_sched=[(jnp.asarray(b.out_idx), jnp.asarray(b.pa), jnp.asarray(b.pb))
+                 for b in plan.w_schedule],
+        z2_sched=[(jnp.asarray(b.out_idx), jnp.asarray(b.pa), jnp.asarray(b.pb))
+                  for b in plan.z2_schedule],
+        factor=[[tuple(jnp.asarray(x) for x in cl) for cl in b.classes]
+                for b in plan.factor_buckets],
+        fwd=[(jnp.asarray(b.cols), jnp.asarray(b.diag_slots),
+              jnp.asarray(b.row_slots), jnp.asarray(b.row_cols))
+             for b in plan.fwd_blocks],
+        bwd=[(jnp.asarray(b.cols), jnp.asarray(b.slots), jnp.asarray(b.rows))
+             for b in plan.bwd_blocks],
     )
     plan.compiled["dev"] = dev
     return dev
@@ -81,46 +84,53 @@ def _nugget_vectors(plan, dev, nuggets, dt):
 
 
 def compute_v_factor(plan, dev, col, nug_ord, dt):
-    """Numeric V factor values (v_flat) from U columns and nuggets."""
+    """Numeric V factor values (v_flat) from U columns and nuggets.
+
+    Up-looking exact factorization on the static schedule (plan.py): W is
+    assembled once as a gather-based pair reduction, then each elimination
+    level computes whole columns from already-final values — no mutable W,
+    no colliding scatters (cf. the reference's Matrix::chol / ic0 at
+    /root/reference/R/vecchia_prediction.R:74-84, src/ic0.cpp:43-64).
+    """
     v_flat = jnp.zeros(plan.v_nnz, dt)
     # direct columns: reversed U columns copied verbatim
     if plan.dir_slots.size:
-        v_flat = v_flat.at[dev["dir_slots"]].set(col[dev["dir_pt"], dev["dir_nn"]])
-    # chol columns: assemble W, then right-looking level-scheduled Cholesky
-    # (exact on the filled pattern; IC0 semantics on the unfilled pattern)
-    if plan.w_pair_slots is not None:
-        u = jnp.where(dev["cond"] & dev["has_lat"][:, None], col, 0.0)
-        vals = u[:, dev["pair_a"]] * u[:, dev["pair_b"]]
-        w_flat = scatter_add(jnp.zeros(plan.w_nnz, dt),
-                             dev["w_pair_slots"], vals)
-        d_add = 1.0 / nug_ord[dev["w_diag_obs_pos"]]
-        w_flat = w_flat.at[dev["w_diag_slots"]].add(d_add)
-        # one lax.scan per bucket of consecutive elimination levels
-        for lv in plan.chol_levels:
-            pa = jnp.asarray(lv.pair_a)
-            pb = jnp.asarray(lv.pair_b)
+        v_flat = scatter_set_unique(v_flat, dev["dir_slots"],
+                                    col[dev["dir_pt"], dev["dir_nn"]])
+    if not dev["factor"]:
+        return v_flat
+    # W on the factor pattern from U products + 1/nugget diagonal terms
+    ucat = jnp.concatenate([col.ravel(), 1.0 / nug_ord, jnp.ones(1, dt)])
+    w_init = pair_sum(ucat, ucat, dev["w_sched"], plan.v_nnz, dt)
 
-            def body(carry, xs, pa=pa, pb=pb, has_pairs=bool(lv.pair_a.size)):
-                w_flat, v_flat = carry
-                col_slots, out_slots, pair_slots = xs
-                ok = col_slots >= 0
-                cvals = gather0(w_flat, col_slots)
-                diag = jnp.where(ok[:, :1], cvals[:, :1], 1.0)
-                colv = jnp.where(ok, cvals / jnp.sqrt(diag), 0.0)
-                v_flat = scatter_set(v_flat, out_slots, colv)
-                if has_pairs:
-                    upd = -colv[:, pa] * colv[:, pb]
-                    w_flat = scatter_add(w_flat, pair_slots, upd)
-                return (w_flat, v_flat), None
+    tiny = jnp.asarray(1e-30, dt)
 
-            xs = (jnp.asarray(lv.col_slots), jnp.asarray(lv.out_slots),
-                  jnp.asarray(lv.pair_slots))
-            if lv.col_slots.shape[0] == 1:
-                (w_flat, v_flat), _ = body((w_flat, v_flat),
-                                           jax.tree.map(lambda a: a[0], xs))
+    def body(carry, xs):
+        v_flat, dbuf = carry
+        raws = []
+        for out, cols, dtar, pa, pb in xs:
+            w0 = gather0(w_init, out)
+            if pa.shape[-1] > 0:
+                prods = gather0(v_flat, pa) * gather0(v_flat, pb)
+                raw = w0 - jnp.sum(prods, axis=-1)
             else:
-                (w_flat, v_flat), _ = jax.lax.scan(body, (w_flat, v_flat), xs)
-    return v_flat
+                raw = w0
+            dbuf = scatter_set_unique(dbuf, dtar, raw)
+            raws.append(raw)
+        for (out, cols, dtar, pa, pb), raw in zip(xs, raws):
+            colv = raw * jax.lax.rsqrt(
+                jnp.maximum(dbuf[jnp.clip(cols, 0)], tiny))
+            v_flat = scatter_set_unique(v_flat, out, colv)
+        return (v_flat, dbuf), None
+
+    dbuf = jnp.zeros(plan.n_lat, dt)
+    carry = (v_flat, dbuf)
+    for bucket in dev["factor"]:
+        if bucket[0][0].shape[0] == 1:
+            carry, _ = body(carry, jax.tree.map(lambda a: a[0], bucket))
+        else:
+            carry, _ = jax.lax.scan(body, carry, bucket)
+    return carry[0]
 
 
 def _dispatch_covmodel(spec, covmodel, dtype):
@@ -182,22 +192,17 @@ def _loglik_core(plan, kernel_fn, covmat, dev, z, covparms, nuggets, sel=None):
         lat_mask, col[:, 0], 1.0)), 0.0)) + jnp.sum(jnp.log(nug_ord)))
 
     n_lat = plan.n_lat
-    # z2 = U_y z1 over latent rows
-    targets = jnp.where(dev["cond"] & lat_mask[:, None],
-                        dev["latent_rank"][dev["NN"]], -1)
-    vals = col * z1L[:, None]
-    z2 = scatter_add(jnp.zeros(n_lat, dt), targets,
-                     jnp.where(targets >= 0, vals, 0.0))
-    # obs-column contribution: -z1Z/sqrt(nug) at own latent row
-    lat_obs = lat_mask[dev["obs_points"]]
-    tgt_obs = jnp.where(lat_obs, dev["latent_rank"][dev["obs_points"]], -1)
-    z2 = scatter_add(z2, tgt_obs,
-                     jnp.where(lat_obs, -z1Z / jnp.sqrt(nug_ord), 0.0))
+    # z2 = U_y z1 over latent rows, as a gather-based pair reduction:
+    # z2[r] = sum col[p,a]*z1L[p] over in-edges, minus z1Z/sqrt(nug) at the
+    # point's own latent row (schedule built in plan.py)
+    ucat_z = jnp.concatenate([col.ravel(), jnp.ones(1, dt)])
+    zcat = jnp.concatenate([z1L, -z1Z / jnp.sqrt(nug_ord)])
+    z2 = pair_sum(ucat_z, zcat, dev["z2_sched"], n_lat, dt)
 
     # denominator through V
     v_flat = compute_v_factor(plan, dev, col, nug_ord, dt)
     z2rev = z2[::-1]
-    z3 = forward_solve(v_flat, z2rev, plan.fwd_blocks)
+    z3 = forward_solve(v_flat, z2rev, dev["fwd"])
     quad_denom = jnp.sum(z3 * z3)
     logdet_denom = -2.0 * jnp.sum(jnp.log(v_flat[dev["v_diag_slots"]]))
 

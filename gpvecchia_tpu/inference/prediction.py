@@ -17,7 +17,7 @@ import numpy as np
 from ..kernels.covariance import make_kernel_fn
 from ..kernels.u_entries import u_entries
 from ..linalg.selinv import build_selinv_levels, selected_inverse
-from ..linalg.sparse import scatter_add
+from ..linalg.sparse import pair_sum
 from ..linalg.trisolve import backward_solve, forward_solve
 from ..plan import get_plan
 from .likelihood import (_device_arrays, _dispatch_covmodel, _nugget_vectors,
@@ -45,19 +45,13 @@ def _posterior_core(plan, kernel_fn, covmat, dev, z, covparms, nuggets,
     z1Z = zord / jnp.sqrt(nug_ord)
 
     n_lat = plan.n_lat
-    targets = jnp.where(dev["cond"] & dev["has_lat"][:, None],
-                        dev["latent_rank"][dev["NN"]], -1)
-    vals = col * z1L[:, None]
-    z2 = scatter_add(jnp.zeros(n_lat, dt), targets,
-                     jnp.where(targets >= 0, vals, 0.0))
-    lat_obs = dev["has_lat"][dev["obs_points"]]
-    tgt_obs = jnp.where(lat_obs, dev["latent_rank"][dev["obs_points"]], -1)
-    z2 = scatter_add(z2, tgt_obs,
-                     jnp.where(lat_obs, -z1Z / jnp.sqrt(nug_ord), 0.0))
+    ucat_z = jnp.concatenate([col.ravel(), jnp.ones(1, dt)])
+    zcat = jnp.concatenate([z1L, -z1Z / jnp.sqrt(nug_ord)])
+    z2 = pair_sum(ucat_z, zcat, dev["z2_sched"], n_lat, dt)
 
     v_flat = compute_v_factor(plan, dev, col, nug_ord, dt)
-    temp = forward_solve(v_flat, z2[::-1], plan.fwd_blocks)
-    mu_rev = -backward_solve(v_flat, temp, plan.bwd_blocks)
+    temp = forward_solve(v_flat, z2[::-1], dev["fwd"])
+    mu_rev = -backward_solve(v_flat, temp, dev["bwd"])
     mu_ord = mu_rev[::-1]       # over latent vars in ordered sequence
     return mu_ord, v_flat, col, nug_ord
 

@@ -8,11 +8,16 @@ the diagonal), then compute the normalized first column of its inverse:
 
 col[0] is the U diagonal (1/conditional-sd, positive), col[j] the U entry at
 neighbor j's row.  This equals the reference's per-row upper-Cholesky
-back-solve (/root/reference/src/U_NZentries.cpp:25-118) but is formulated as
-one batched dense SPD solve, which XLA maps onto the TPU MXU; ragged
-conditioning sets are identity-padded so shapes stay static.
+back-solve (/root/reference/src/U_NZentries.cpp:25-118); the OpenMP row loop
+becomes the batch dimension.
 
-The OpenMP row loop of the reference becomes vmap/sharding over the batch.
+TPU layout note: the batch lives in the LAST (lane) dimension.  The small
+matrices are kept as a packed triangle of n-vectors, and the Cholesky /
+substitutions are a block-unrolled Crout recursion over scalar positions of
+the small matrix — every op is a full (n,)-lane vector op, and the cross
+block accumulations are einsum contractions.  The (n, m+1, m+1)
+batched-cholesky layout XLA would otherwise use pads the two minor dims to
+hardware tiles and runs ~2500x slower.
 """
 
 from __future__ import annotations
@@ -24,54 +29,149 @@ import jax.numpy as jnp
 
 from .covariance import _safe_dist
 
-__all__ = ["u_entries", "build_cov_blocks"]
+__all__ = ["u_entries", "build_cov_packed", "crout_solve_e0"]
+
+_CROUT_BLOCK = 8
 
 
-def build_cov_blocks(locs, NN, valid, cond, nug_point, kernel_fn, covparms,
+def _packed_index(mp1):
+    iu, ju = np.triu_indices(mp1)
+    pk = np.zeros((mp1, mp1), np.int32)
+    pk[iu, ju] = np.arange(iu.size)
+    pk[ju, iu] = np.arange(iu.size)
+    return iu, ju, pk
+
+
+def build_cov_packed(locs, NN, valid, cond, nug_point, kernel_fn, covparms,
                      covmat=None, sel=None):
-    """(n, m+1, m+1) conditioning-set covariance blocks, identity-padded.
+    """Packed upper-triangle covariance blocks, batch-last: (P, n).
+
+    P = (m+1)(m+2)/2 positions (iu, ju) of the conditioning-set covariance;
+    response-conditioned neighbors carry their nugget on the diagonal,
+    invalid (padded) slots are identity-extended.
 
     covmat: optional full (n_all, n_all) covariance to gather from instead of
-    evaluating the kernel (reference's U_NZentries_mat,
+    evaluating a kernel (reference's U_NZentries_mat,
     /root/reference/src/U_NZentries.cpp:126-197).
-    sel: optional (flat_selected_values, pair_slots) for hierarchical
-    conditioning, where pair_slots[(i, a, b)] indexes the flattened selected
-    covariance matrix (reference createUcppM path, R/createU.R:89-139).
+    sel: optional (flat_selected_values, (n, m+1, m+1) pair_slots) for
+    hierarchical conditioning (reference createUcppM, R/createU.R:89-139).
     """
     mp1 = NN.shape[1]
+    iu, ju, _ = _packed_index(mp1)
     if sel is not None:
         flat_vals, pair_slots = sel
-        ok = pair_slots >= 0
-        C = jnp.where(ok, flat_vals[jnp.clip(pair_slots, 0)], 0.0)
+        ps = pair_slots[:, iu, ju]
+        Cp = jnp.where(ps >= 0, flat_vals[jnp.clip(ps, 0)], 0.0)
     elif covmat is not None:
-        C = covmat[NN[:, :, None], NN[:, None, :]]
+        Cp = covmat[NN[:, iu], NN[:, ju]]
     else:
-        # evaluate the kernel only on the packed upper triangle (the blocks
-        # are symmetric) -- halves the cost of expensive kernels (general-nu
-        # Matern), then scatter back to full (n, m+1, m+1)
-        iu, ju = np.triu_indices(mp1)
         pts = locs[NN]                       # (n, m+1, d)
         diff = pts[:, iu, :] - pts[:, ju, :]
         dist = _safe_dist(jnp.sum(diff * diff, axis=-1))   # (n, P)
         Cp = kernel_fn(dist, covparms)
-        C = jnp.zeros((NN.shape[0], mp1, mp1), Cp.dtype)
-        C = C.at[:, iu, ju].set(Cp).at[:, ju, iu].set(Cp)
-    # response-conditioned neighbors contribute their nugget on the diagonal
-    nug_nb = jnp.where(valid & ~cond, nug_point[NN], 0.0)
-    C = C + jnp.eye(mp1, dtype=C.dtype) * nug_nb[:, None, :]
+    # response-conditioned neighbors contribute their nugget on the diagonal;
+    # the packed diagonal slots are exactly the positions with iu == ju, so
+    # this is a static-mask add (scatter-free): at slot (j, j), iu = j
+    nug_nb = jnp.where(valid & ~cond, nug_point[NN], 0.0)   # (n, m+1)
+    dmask = jnp.asarray(iu == ju)
+    Cp = Cp + jnp.where(dmask[None, :], nug_nb[:, iu], 0.0)
     # identity-pad invalid slots
-    vv = valid[:, :, None] & valid[:, None, :]
-    C = jnp.where(vv, C, jnp.eye(mp1, dtype=C.dtype))
-    return C
+    vv = valid[:, iu] & valid[:, ju]
+    Cp = jnp.where(vv, Cp, dmask[None, :].astype(Cp.dtype))
+    return Cp.T       # (P, n) batch-last
+
+
+def crout_solve_e0(Cp, mp1, block=_CROUT_BLOCK):
+    """x = C^{-1} e0 for packed batch-last SPD blocks; returns (m+1, n).
+
+    Block-unrolled Crout Cholesky: each L column is a full (m+1, n) array
+    (rows above the diagonal hold garbage that is never read), columns are
+    processed in blocks of `block`, and all cross-block accumulations are
+    einsum contractions — the op count is O(F * block + (F/block)^2)
+    instead of O(F^3), keeping XLA compile time reasonable while every op
+    stays an (n,)-lane vector op.
+    """
+    F = mp1
+    _, _, pk = _packed_index(F)
+    dt = Cp.dtype
+    Lcols = [None] * F            # each (F, n); rows < j are garbage
+    inv = [None] * F
+    for jb in range(0, F, block):
+        je = min(jb + block, F)
+        if jb > 0:
+            Lprev = jnp.stack(Lcols[:jb], axis=1)     # (F, jb, n)
+            # acc[i, j-jb] = sum_{k<jb} L[i,k] L[j,k], valid for rows >= jb
+            acc = jnp.einsum("ikn,jkn->ijn", Lprev, Lprev[jb:je],
+                             precision=jax.lax.Precision.HIGHEST)
+        for j in range(jb, je):
+            s = Cp[pk[:, j]]                          # column j of C, (F, n)
+            if jb > 0:
+                s = s - acc[:, j - jb]
+            for k in range(jb, j):
+                s = s - Lcols[k] * Lcols[k][j][None, :]
+            d = jax.lax.rsqrt(s[j])
+            inv[j] = d
+            Lcols[j] = s * d[None, :]
+    L = jnp.stack(Lcols, axis=1)   # (F, F, n); upper part garbage, never read
+    # y = L^{-1} e0 (blocked forward substitution)
+    y = [None] * F
+    for jb in range(0, F, block):
+        je = min(jb + block, F)
+        if jb > 0:
+            Yprev = jnp.stack(y[:jb], axis=0)         # (jb, n)
+            acc = jnp.einsum("ikn,kn->in", L[jb:je, :jb], Yprev,
+                             precision=jax.lax.Precision.HIGHEST)
+        for j in range(jb, je):
+            s = -acc[j - jb] if jb > 0 else (
+                jnp.ones_like(inv[0]) if j == 0 else jnp.zeros_like(inv[0]))
+            if jb == 0 and j == 0:
+                y[0] = inv[0]
+                continue
+            for k in range(jb, j):
+                s = s - L[j, k] * y[k]
+            y[j] = s * inv[j]
+    # x = L^{-T} y (blocked backward substitution)
+    x = [None] * F
+    for je in range(F, 0, -block):
+        jb = max(je - block, 0)
+        if je < F:
+            Xnext = jnp.stack(x[je:], axis=0)         # (F-je, n)
+            acc = jnp.einsum("kin,kn->in", L[je:, jb:je], Xnext,
+                             precision=jax.lax.Precision.HIGHEST)
+        for j in range(je - 1, jb - 1, -1):
+            s = y[j] - (acc[j - jb] if je < F else 0.0)
+            for k in range(j + 1, je):
+                s = s - L[k, j] * x[k]
+            x[j] = s * inv[j]
+    return jnp.stack(x, axis=0)    # (F, n)
+
+
+def _use_crout():
+    """Batch-last Crout on TPU; LAPACK-backed batched cholesky elsewhere.
+
+    XLA:TPU lowers (n, F, F) batched cholesky/triangular-solve ~2500x slower
+    than the lane-major Crout; XLA:CPU calls LAPACK and compiles the big
+    unrolled Crout graph slowly, so each backend gets its native fast path
+    (identical math; tests/test_covariance.py checks they agree).
+    """
+    return jax.default_backend() == "tpu"
 
 
 def u_entries(locs, NN, valid, cond, nug_point, kernel_fn, covparms,
               covmat=None, sel=None):
     """U-column coefficients (n, m+1), aligned with NNarray (self first)."""
-    C = build_cov_blocks(locs, NN, valid, cond, nug_point, kernel_fn, covparms,
-                         covmat, sel)
-    e0 = jnp.zeros((C.shape[0], C.shape[1]), C.dtype).at[:, 0].set(1.0)
-    chol = jnp.linalg.cholesky(C)
-    x = jax.scipy.linalg.cho_solve((chol, True), e0[..., None])[..., 0]
-    col = x / jnp.sqrt(x[:, :1])
+    mp1 = NN.shape[1]
+    Cp = build_cov_packed(locs, NN, valid, cond, nug_point, kernel_fn,
+                          covparms, covmat, sel)
+    if _use_crout():
+        x = crout_solve_e0(Cp, mp1)              # (m+1, n)
+        col = (x * jax.lax.rsqrt(x[:1])).T       # (n, m+1)
+    else:
+        iu, ju, _ = _packed_index(mp1)
+        C = jnp.zeros((Cp.shape[1], mp1, mp1), Cp.dtype)
+        C = C.at[:, iu, ju].set(Cp.T).at[:, ju, iu].set(Cp.T)
+        e0 = jnp.zeros((C.shape[0], mp1), C.dtype).at[:, 0].set(1.0)
+        chol = jnp.linalg.cholesky(C)
+        x = jax.scipy.linalg.cho_solve((chol, True), e0[..., None])[..., 0]
+        col = x / jnp.sqrt(x[:, :1])
     return jnp.where(valid, col, 0.0)

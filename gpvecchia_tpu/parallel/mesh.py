@@ -23,7 +23,7 @@ __all__ = ["make_mesh", "sharded_loglik_fn", "sharded_loglik_core",
            "shard_rows"]
 
 _ROW_KEYS = ("NN", "valid", "cond", "nb_resp", "nb_obs_pos", "has_lat",
-             "latent_rank", "obs_pos", "w_pair_slots")
+             "latent_rank", "obs_pos")
 
 
 def make_mesh(devices=None, rows=None, chains=1):
@@ -59,7 +59,7 @@ def shard_rows(mesh, plan, dev):
         if k in _ROW_KEYS:
             spec = P("rows", *([None] * (v.ndim - 1)))
         else:
-            spec = P()
+            spec = P()      # schedules/lookup tables stay replicated
         out[k] = jax.device_put(v, NamedSharding(mesh, spec))
     return out
 

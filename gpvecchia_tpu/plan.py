@@ -2,16 +2,22 @@
 
 Everything here is parameter-free and cached on the spec (the analogue of the
 reference's reusable `vecchia.approx` object, /root/reference/R/vecchia_specify.R:3-5).
-The numeric path then consists purely of gathers, segment-sums and batched
-dense solves with static shapes.
+The numeric path then consists purely of gathers, padded segment reductions
+and batched dense vector algebra with static shapes — no scatter-adds with
+colliding indices anywhere (those serialize on TPU).
 
 V (the reverse-ordered Cholesky factor of W = U_y U_y^T + D, reference U2V at
 /root/reference/R/vecchia_prediction.R:62-111) is represented column-wise:
   * 'direct' columns are reversed U columns copied verbatim (the zy shortcut
     and the obspred prediction block, which need no factorization),
-  * 'chol' columns are computed exactly by the column-wise KL identity on the
-    symbolically-filled pattern: V[s_j, j] = A[s_j,s_j]^{-1} e_1 normalized,
-    an embarrassingly parallel batched dense solve.
+  * 'chol' columns carry the exact factorization on the symbolically filled
+    pattern, organized as an UP-LOOKING product schedule: every V entry (i,j)
+    owns a host-precomputed list of value-pairs — (+) U-products assembling
+    W[i,j], (+) the 1/nugget diagonal, (−) V-products V[i,k]·V[j,k] from
+    earlier columns — so each elimination level is one batched
+    gather→multiply→reduce→unique-write step (IC0 on the unfilled pattern,
+    /root/reference/src/ic0.cpp:43-64, falls out of the same schedule by
+    dropping out-of-pattern targets).
 """
 
 from __future__ import annotations
@@ -20,60 +26,59 @@ import dataclasses
 
 import numpy as np
 
-from .symbolic import (LowerCSR, col_levels_backward, csr_from_coo_lower,
-                       symbolic_cholesky)
+from .symbolic import csr_from_coo_lower, symbolic_cholesky
 
 __all__ = ["LikelihoodPlan", "build_likelihood_plan", "get_plan"]
 
 
+# --------------------------------------------------------------------------
+# static schedule containers (numpy; shipped to device as jit ARGUMENTS)
+# --------------------------------------------------------------------------
+
 @dataclasses.dataclass
-class CholLevel:
-    """A BUCKET of consecutive dependency levels of the right-looking sparse
-    Cholesky, padded to a common (L, F) shape with a leading n_levels axis.
+class PairSumBucket:
+    """out[t] = sum_c A[pa[t,c]] * B[pb[t,c]] for a count-class of targets."""
+    out_idx: np.ndarray     # (E,) int32 target slots (globally unique)
+    pa: np.ndarray          # (E, C) int32 into A, -1 pad
+    pb: np.ndarray          # (E, C) int32 into B, -1 pad
 
-    Columns within a level are independent: read their (already fully
-    updated) values from w_flat, normalize, write to v_flat, and scatter the
-    Schur-complement rank-1 updates back into w_flat.  On the symbolically
-    filled pattern this is the exact factorization; on the unfilled pattern
-    (updates outside the pattern dropped) it is exactly IC0
-    (/root/reference/src/ic0.cpp:43-64).
 
-    Levels are bucketed (consecutive levels of similar width padded together)
-    so the device executes one lax.scan per bucket instead of one unrolled
-    step per level — compile time scales with #buckets (~log n), not #levels.
+@dataclasses.dataclass
+class FactorBucket:
+    """A bucket of consecutive elimination levels of the up-looking factor.
+
+    Entries (V nonzeros) of each level are split by product-count class so
+    long-tailed count distributions don't blow up padding; each class holds
+    flat per-entry arrays padded to (nlev, E, C):
+
+        raw  = w_init[out] - sum_c v[pa]*v[pb]
+        dbuf[col] = raw            (diagonal entries only)
+        v[out] = raw * rsqrt(dbuf[col])     (== sqrt(raw) on the diagonal)
+
+    `classes` is a list of (out_slots, cols, dtar, pa, pb) tuples:
+      out_slots (nlev, E)    v_flat slots, -1 pad
+      cols      (nlev, E)    column id of each entry (for the dbuf gather)
+      dtar      (nlev, E)    column id if the entry is the diagonal else -1
+      pa, pb    (nlev, E, C) v_flat slots of the product operands, -1 pad
     """
-    F: int
-    col_slots: np.ndarray   # (nlev, L, F) slots of A[s_j, j] in w_flat, -1 pad
-    out_slots: np.ndarray   # (nlev, L, F) target slots in v_flat, -1 pad
-    pair_slots: np.ndarray  # (nlev, L, P) slots of (a,b) pairs (a,b in s_j \ {j})
-    pair_a: np.ndarray      # (P,) first slot index (1..F-1) of each pair
-    pair_b: np.ndarray      # (P,) second slot index
+    classes: list
+
+
+@dataclasses.dataclass
+class FwdBlock:
+    """A bucket of consecutive forward-solve levels (row-structure based)."""
+    cols: np.ndarray        # (nlev, L) int32 unknown ids, -1 pad
+    diag_slots: np.ndarray  # (nlev, L) int32 v_flat slot of the diagonal
+    row_slots: np.ndarray   # (nlev, L, R) int32 v slots of row entries, -1 pad
+    row_cols: np.ndarray    # (nlev, L, R) int32 their column ids, -1 pad
 
 
 @dataclasses.dataclass
 class SolveBlock:
-    """A bucket of consecutive dependency levels of the triangular solve."""
+    """A bucket of consecutive backward-solve levels (column-structure)."""
     cols: np.ndarray        # (nlev, L) column ids, -1 pad
-    slots: np.ndarray       # (nlev, L, F) v_flat slots per column (diag first), -1 pad
-    rows: np.ndarray        # (nlev, L, F) rev-row indices (diag first), -1 pad
-
-
-def _bucket_bounds(sizes):
-    """Partition a sequence of level sizes into consecutive buckets.
-
-    A new bucket starts when the ceil-pow2 of the level size changes; the
-    padding waste within a bucket is therefore < 2x, and #buckets is
-    O(log(max L)) for the typical monotone level-size profile.
-    """
-    bounds = [0]
-    key = None
-    for i, s in enumerate(sizes):
-        k = 1 << int(np.ceil(np.log2(max(int(s), 1))))
-        if key is not None and k != key:
-            bounds.append(i)
-        key = k
-    bounds.append(len(sizes))
-    return bounds
+    slots: np.ndarray       # (nlev, L, F) v_flat slots per column (diag first)
+    rows: np.ndarray        # (nlev, L, F) row indices (diag first), -1 pad
 
 
 @dataclasses.dataclass
@@ -85,7 +90,7 @@ class LikelihoodPlan:
     n_pred_lat: int         # latent vars handled as direct pred columns (obspred)
     dtype: object
 
-    # core index arrays (numpy; converted to device constants at trace time)
+    # core index arrays (numpy; moved to device as jit arguments)
     locs: np.ndarray
     NN: np.ndarray          # (n_all, m+1) int32, clamped to >= 0
     valid: np.ndarray
@@ -98,14 +103,6 @@ class LikelihoodPlan:
     nb_obs_pos: np.ndarray       # (n_all, m+1) obs position of neighbors (clamped)
     nb_resp: np.ndarray          # (n_all, m+1) bool: valid response-conditioned nb
 
-    # W build (only for chol/obspred modes)
-    w_nnz: int = 0
-    w_pair_slots: np.ndarray | None = None   # (n_all, P2) int32, -1 drop
-    pair_a: np.ndarray | None = None         # (P2,)
-    pair_b: np.ndarray | None = None
-    w_diag_slots: np.ndarray | None = None   # (n_dlat,) slots for D additions
-    w_diag_obs_pos: np.ndarray | None = None # (n_dlat,) obs position providing 1/nugget
-
     # V storage
     v_nnz: int = 0
     v_colptr: np.ndarray | None = None
@@ -114,151 +111,99 @@ class LikelihoodPlan:
     dir_slots: np.ndarray | None = None      # (K,) targets in v_flat
     dir_pt: np.ndarray | None = None         # (K,) point ids
     dir_nn: np.ndarray | None = None         # (K,) NNarray slot ids
-    chol_levels: list = dataclasses.field(default_factory=list)
+
+    # gather-based schedules
+    w_schedule: list = dataclasses.field(default_factory=list)   # PairSumBucket
+    factor_buckets: list = dataclasses.field(default_factory=list)
+    z2_schedule: list = dataclasses.field(default_factory=list)  # PairSumBucket
 
     # triangular solve schedules
-    fwd_blocks: list = dataclasses.field(default_factory=list)
-    bwd_blocks: list = dataclasses.field(default_factory=list)
+    fwd_blocks: list = dataclasses.field(default_factory=list)   # FwdBlock
+    bwd_blocks: list = dataclasses.field(default_factory=list)   # SolveBlock
 
     # compiled function cache
     compiled: dict = dataclasses.field(default_factory=dict)
 
 
-def _build_chol_levels(chol_cols, col_patterns, colptr, W: LowerCSR,
-                       rev_offset: int):
-    """Group chol columns by elimination level; build all slot maps.
+# --------------------------------------------------------------------------
+# small vectorized helpers
+# --------------------------------------------------------------------------
 
-    chol_cols: global rev column ids; col_patterns[j]: global rev rows
-    (ascending, diag first).  A-space index = global rev index - rev_offset
-    (the W value array lives on the A-space pattern).
-    """
-    chol_cols = np.asarray(chol_cols, dtype=np.int64)
-    n_A_cols = chol_cols.size
-    if n_A_cols == 0:
+def _ceil_pow2(x: int) -> int:
+    return 1 << int(np.ceil(np.log2(max(int(x), 1))))
+
+
+def _ragged_to_padded(values, widths, fill=-1, order_check=None):
+    """Concat of ragged rows (row-major) -> (len(widths), max(widths)) padded."""
+    L = len(widths)
+    F = int(widths.max()) if L else 0
+    out = np.full((L, F), fill, dtype=values.dtype)
+    mask = np.arange(F)[None, :] < widths[:, None]
+    out[mask] = values
+    return out, mask
+
+
+def _build_pair_sum(targets, pa, pb, n_out):
+    """Group (target, pa, pb) triples into count-class PairSumBuckets."""
+    targets = np.asarray(targets, dtype=np.int64)
+    if targets.size == 0:
         return []
-    # dependency level within the chol set: col j depends on every col k with
-    # j in s_k (k < j); level = 1 + max level of dependencies.  Vectorized
-    # wave iteration (converges after #levels sweeps).
-    first = int(chol_cols.min())
-    nc = int(chol_cols.max()) + 1 - first
-    level = np.ones(nc, dtype=np.int64)
-    src_l, dst_l = [], []
-    for j in chol_cols:
-        s = col_patterns[j][1:]
-        if s.size:
-            src_l.append(np.full(s.size, j - first))
-            dst_l.append(s - first)
-    if src_l:
-        src = np.concatenate(src_l)
-        dst = np.concatenate(dst_l)
-        while True:
-            new = level.copy()
-            np.maximum.at(new, dst, level[src] + 1)
-            if np.array_equal(new, level):
-                break
-            level = new
-    levels = level[chol_cols - first]
+    order = np.argsort(targets, kind="stable")
+    pa_s = np.asarray(pa, dtype=np.int64)[order]
+    pb_s = np.asarray(pb, dtype=np.int64)[order]
+    counts = np.bincount(targets, minlength=n_out)
+    uniq = np.flatnonzero(counts)
+    offs = np.zeros(n_out + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    cls = np.ceil(np.log2(np.maximum(counts[uniq], 1))).astype(np.int64)
+    buckets = []
+    for c in np.unique(cls):
+        sel = uniq[cls == c]
+        C = int(counts[sel].max())
+        ar = np.arange(C)[None, :]
+        ok = ar < counts[sel][:, None]
+        idx = offs[sel][:, None] + ar
+        idx_c = np.minimum(idx, pa_s.size - 1)
+        buckets.append(PairSumBucket(
+            out_idx=sel.astype(np.int32),
+            pa=np.where(ok, pa_s[idx_c], -1).astype(np.int32),
+            pb=np.where(ok, pb_s[idx_c], -1).astype(np.int32)))
+    return buckets
 
-    # per-level column groups (in level order)
+
+def _level_groups(levels):
+    """Column ids grouped by ascending level; list of int64 arrays."""
     order = np.argsort(levels, kind="stable")
     lv_sorted = levels[order]
     bounds = np.flatnonzero(np.diff(lv_sorted)) + 1
-    groups = [chol_cols[g] for g in np.split(order, bounds)]
-
-    out = []
-    bb = _bucket_bounds([g.size for g in groups])
-    for s, e in zip(bb[:-1], bb[1:]):
-        bucket = groups[s:e]
-        nlev = len(bucket)
-        L = max(g.size for g in bucket)
-        F = max(int(col_patterns[j].size) for g in bucket for j in g)
-        rows_pad = np.full((nlev, L, F), -1, dtype=np.int64)     # A-space
-        out_slots = np.full((nlev, L, F), -1, dtype=np.int64)
-        jj = np.full((nlev, L), -1, dtype=np.int64)              # A-space col
-        for li, ids in enumerate(bucket):
-            jj[li, :ids.size] = ids - rev_offset
-            for bi, j in enumerate(ids):
-                pat = col_patterns[j]
-                rows_pad[li, bi, :pat.size] = pat - rev_offset
-                out_slots[li, bi, :pat.size] = colptr[j] + np.arange(pat.size)
-        wmask = rows_pad >= 0
-        col_slots = W.lookup(np.where(wmask, rows_pad, 0).ravel(),
-                             np.broadcast_to(np.where(jj < 0, 0, jj)[:, :, None],
-                                             rows_pad.shape).ravel()
-                             ).reshape(nlev, L, F)
-        col_slots = np.where(wmask, col_slots, -1)
-        assert np.all(col_slots[wmask] >= 0), \
-            "A[s_j, j] must lie in the factorization pattern"
-        if F > 1:
-            ia, ib = np.tril_indices(F - 1)   # a >= b over slots 1..F-1
-            pa = (ia + 1).astype(np.int64)
-            pb = (ib + 1).astype(np.int64)
-            va = rows_pad[:, :, pa]
-            vb = rows_pad[:, :, pb]
-            ok = (va >= 0) & (vb >= 0)
-            pair_slots = W.lookup(np.where(ok, va, 0).ravel(),
-                                  np.where(ok, vb, 0).ravel()
-                                  ).reshape(nlev, L, pa.size)
-            pair_slots = np.where(ok, pair_slots, -1)
-        else:
-            pa = pb = np.empty(0, dtype=np.int64)
-            pair_slots = np.empty((nlev, L, 0), dtype=np.int64)
-        out.append(CholLevel(F=F,
-                             col_slots=col_slots.astype(np.int32),
-                             out_slots=out_slots.astype(np.int32),
-                             pair_slots=pair_slots.astype(np.int32),
-                             pair_a=pa.astype(np.int32),
-                             pair_b=pb.astype(np.int32)))
-    return out
+    return np.split(order, bounds)
 
 
-def _padded_col_slots(colptr, grp, widths, F):
-    """Vectorized (L, F) slot matrix: row i = colptr[grp[i]] + arange, -1 pad."""
-    L = grp.size
-    ar = np.arange(F)[None, :]
-    slots = colptr[grp][:, None] + ar
-    return np.where(ar < widths[:, None], slots, -1)
+def _bucket_by_keys(keys):
+    """Partition consecutive levels into buckets; new bucket on key change."""
+    bounds = [0]
+    prev = None
+    for i, k in enumerate(keys):
+        if prev is not None and k != prev:
+            bounds.append(i)
+        prev = k
+    bounds.append(len(keys))
+    return bounds
 
 
-def _build_solve_blocks(colptr, rows, levels, n_lat):
-    """Group V columns by dependency level into bucketed SolveBlocks."""
-    order = np.argsort(levels, kind="stable")
-    lv_sorted = levels[order]
-    bounds = np.flatnonzero(np.diff(lv_sorted)) + 1
-    groups = np.split(order, bounds)
-    rows_pad = np.concatenate([rows, [-1]])
-
-    blocks = []
-    bb = _bucket_bounds([g.size for g in groups])
-    for s, e in zip(bb[:-1], bb[1:]):
-        bucket = groups[s:e]
-        nlev = len(bucket)
-        L = max(g.size for g in bucket)
-        F = int(max((colptr[g + 1] - colptr[g]).max() for g in bucket))
-        cols = np.full((nlev, L), -1, dtype=np.int64)
-        slots = np.full((nlev, L, F), -1, dtype=np.int64)
-        for li, grp in enumerate(bucket):
-            widths = colptr[grp + 1] - colptr[grp]
-            cols[li, :grp.size] = grp
-            slots[li, :grp.size] = _padded_col_slots(colptr, grp, widths, F)
-        rws = np.where(slots >= 0, rows_pad[np.clip(slots, 0, rows.size)], -1)
-        blocks.append(SolveBlock(cols=cols.astype(np.int32),
-                                 slots=slots.astype(np.int32),
-                                 rows=rws.astype(np.int32)))
-    return blocks
-
-
-def _forward_levels(colptr, rows, n_lat):
-    """Forward-solve level of each column (1 + longest incoming chain).
-
-    Vectorized wave iteration: each sweep pushes level[j]+1 onto all rows of
-    column j; converges after #levels sweeps.
-    """
-    level = np.ones(n_lat, dtype=np.int64)
-    col_of = np.repeat(np.arange(n_lat), np.diff(colptr))
-    offdiag = rows != col_of
-    src = col_of[offdiag]
-    dst = rows[offdiag]
+def _solve_levels(colptr, rows, n, direction):
+    """Per-column solve levels (native single pass; numpy wave fallback)."""
+    from . import csrc
+    out = csrc.solve_levels(colptr, rows, n, direction)
+    if out is not None:
+        return out
+    level = np.ones(n, dtype=np.int64)
+    col_of = np.repeat(np.arange(n), np.diff(colptr))
+    offd = rows != col_of
+    if direction == "fwd":
+        src, dst = col_of[offd], rows[offd]
+    else:
+        src, dst = rows[offd], col_of[offd]
     while True:
         new = level.copy()
         np.maximum.at(new, dst, level[src] + 1)
@@ -266,6 +211,273 @@ def _forward_levels(colptr, rows, n_lat):
             return level
         level = new
 
+
+def _symbolic_chol_flat(W):
+    """Filled-pattern CSC (colptr, rows) of chol(W); rows ascending, diag 1st."""
+    from . import csrc
+    out = csrc.symbolic_chol_flat(W.indptr, W.indices, W.n)
+    if out is not None:
+        colptr, rows, _ = out
+        return colptr, rows
+    col_arrays, _, _ = symbolic_cholesky(W)
+    widths = np.array([c.size for c in col_arrays], dtype=np.int64)
+    colptr = np.zeros(W.n + 1, dtype=np.int64)
+    np.cumsum(widths, out=colptr[1:])
+    rows = (np.concatenate(col_arrays) if col_arrays
+            else np.empty(0, np.int64))
+    return colptr, rows
+
+
+def _csc_transpose_pattern(colptr, rows, n):
+    """Lower CSC -> per-row (ptr, order) listing each row's entry slots.
+
+    Returns (row_ptr, slot_by_row, col_by_row): entries sorted by (row, col);
+    slot_by_row are flat indices into the CSC value array.
+    """
+    col_of = np.repeat(np.arange(n), np.diff(colptr))
+    keys = rows.astype(np.int64) * n + col_of
+    order = np.argsort(keys, kind="stable")
+    row_ptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(rows, minlength=n), out=row_ptr[1:])
+    return row_ptr, order, col_of[order]
+
+
+# --------------------------------------------------------------------------
+# factor schedule (up-looking exact Cholesky / IC0 on the static pattern)
+# --------------------------------------------------------------------------
+
+_COUNT_CLASSES = (0, 4, 16, 64, 256, 1024, 4096, 16384, 65536)
+
+
+def _build_factor_buckets(colptr, v_rows, n_lat, rev_offset, n_A,
+                          tgt_v, pa_v, pb_v):
+    """Bucket chol columns by elimination level, entries by count class."""
+    # per-column dependency levels over the chol (A) region
+    colptr_A = colptr[rev_offset:] - colptr[rev_offset]
+    rows_A = v_rows[colptr[rev_offset]:] - rev_offset
+    lev_col = _solve_levels(colptr_A, rows_A, n_A, "fwd")
+
+    # sorted V-product triples + per-slot offsets
+    tgt_v = np.asarray(tgt_v, dtype=np.int64)
+    order = np.argsort(tgt_v, kind="stable")
+    pa_s = np.asarray(pa_v, dtype=np.int64)[order]
+    pb_s = np.asarray(pb_v, dtype=np.int64)[order]
+    v_nnz = int(v_rows.size)
+    counts = np.bincount(tgt_v, minlength=v_nnz) if tgt_v.size else \
+        np.zeros(v_nnz, dtype=np.int64)
+    offs = np.zeros(v_nnz + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+
+    # flat per-entry arrays over the chol region
+    base = colptr[rev_offset]
+    slots_all = np.arange(base, v_nnz, dtype=np.int64)
+    widths = np.diff(colptr)
+    col_all = np.repeat(np.arange(rev_offset, n_lat), widths[rev_offset:])
+    lev_all = lev_col[col_all - rev_offset]
+    isdiag = slots_all == colptr[col_all]
+    cnt_all = counts[slots_all]
+    cls_all = np.searchsorted(np.asarray(_COUNT_CLASSES), cnt_all)
+
+    nclasses = len(_COUNT_CLASSES)
+    # group entries by (level, class); levels ascending
+    n_levels = int(lev_all.max()) if lev_all.size else 0
+    ecounts = np.zeros((n_levels + 1, nclasses), dtype=np.int64)
+    np.add.at(ecounts, (lev_all, cls_all), 1)
+    present = np.flatnonzero(ecounts.sum(axis=0) > 0)
+    order_e = np.lexsort((slots_all, cls_all, lev_all))
+    slots_sorted = slots_all[order_e]
+    col_sorted = col_all[order_e]
+    diag_sorted = isdiag[order_e]
+    cnt_sorted = cnt_all[order_e]
+    # start offsets of each (level, class) segment in the sorted arrays
+    seg_off = np.zeros((n_levels + 1) * nclasses + 1, dtype=np.int64)
+    np.cumsum(ecounts.ravel(), out=seg_off[1:])
+
+    # bucket levels on the pow2 profile of per-class entry counts
+    keys = [tuple(_ceil_pow2(int(ecounts[l, c])) if ecounts[l, c] else 0
+                  for c in present)
+            for l in range(1, n_levels + 1)]
+    bounds = _bucket_by_keys(keys)
+
+    buckets = []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        lv_lo, lv_hi = s + 1, e + 1          # level ids in [lv_lo, lv_hi)
+        nlev = e - s
+        classes = []
+        for ci, c in enumerate(present):
+            E = int(ecounts[lv_lo:lv_hi, c].max())
+            if E == 0:
+                continue
+            C = int(_COUNT_CLASSES[c]) if c < nclasses else 0
+            out = np.full((nlev, E), -1, dtype=np.int64)
+            colsb = np.zeros((nlev, E), dtype=np.int64)
+            dtar = np.full((nlev, E), -1, dtype=np.int64)
+            cntb = np.zeros((nlev, E), dtype=np.int64)
+            for li, l in enumerate(range(lv_lo, lv_hi)):
+                seg = l * nclasses + c
+                a, b = seg_off[seg], seg_off[seg + 1]
+                k = b - a
+                out[li, :k] = slots_sorted[a:b]
+                colsb[li, :k] = col_sorted[a:b]
+                dtar[li, :k] = np.where(diag_sorted[a:b],
+                                        col_sorted[a:b], -1)
+                cntb[li, :k] = cnt_sorted[a:b]
+            if C > 0:
+                arc = np.arange(C)
+                okc = arc[None, None, :] < cntb[..., None]
+                oute = np.where(out >= 0, out, 0)
+                idx = offs[oute][..., None] + arc
+                idx_c = np.minimum(idx, max(pa_s.size - 1, 0))
+                pa = np.where(okc, pa_s[idx_c] if pa_s.size else -1, -1)
+                pb = np.where(okc, pb_s[idx_c] if pb_s.size else -1, -1)
+            else:
+                pa = np.empty((nlev, E, 0), dtype=np.int64)
+                pb = pa
+            classes.append((out.astype(np.int32), colsb.astype(np.int32),
+                            dtar.astype(np.int32), pa.astype(np.int32),
+                            pb.astype(np.int32)))
+        buckets.append(FactorBucket(classes=classes))
+    return buckets
+
+
+def _build_v_product_triples(colptr, v_rows, n_lat, rev_offset, slot_lookup,
+                             ic0, chunk=4_000_000):
+    """(tgt_slot, pa, pb) for all V-products V[i,k]*V[j,k] -> entry (i,j).
+
+    Enumerated per source column k over its below-diagonal pairs; in exact
+    mode every product's target lies in the filled pattern (asserted); in
+    IC0 mode out-of-pattern targets are dropped (that IS the approximation,
+    /root/reference/src/ic0.cpp:43-64).
+    """
+    n_A_cols = n_lat - rev_offset
+    if n_A_cols <= 0:
+        z = np.empty(0, np.int64)
+        return z, z, z
+    widths = np.diff(colptr)[rev_offset:]
+    Fmax = int(widths.max()) if widths.size else 0
+    if Fmax <= 1:
+        z = np.empty(0, np.int64)
+        return z, z, z
+    ia, ib = np.tril_indices(Fmax - 1)
+    pia = (ia + 1).astype(np.int64)
+    pib = (ib + 1).astype(np.int64)
+    P = pia.size
+    cols_per_chunk = max(1, chunk // max(P, 1))
+    tg_l, pa_l, pb_l = [], [], []
+    for s in range(0, n_A_cols, cols_per_chunk):
+        e = min(s + cols_per_chunk, n_A_cols)
+        cols_g = np.arange(s, e) + rev_offset
+        w = widths[s:e]
+        base = colptr[cols_g]
+        # padded row matrix for the chunk
+        F = int(w.max())
+        sel = (pia < F) & (pib < F) if F < Fmax else slice(None)
+        pia_c, pib_c = pia[sel] if F < Fmax else pia, pib[sel] if F < Fmax else pib
+        ar = np.arange(F)[None, :]
+        okw = ar < w[:, None]
+        R = np.where(okw, v_rows[np.minimum(base[:, None] + ar,
+                                            v_rows.size - 1)], -1)
+        va = R[:, pia_c]            # larger row (ascending within column)
+        vb = R[:, pib_c]
+        ok = va >= 0                # pia >= pib, pad at tail
+        tgt = slot_lookup(np.where(ok, vb, 0), np.where(ok, va, 0))
+        if ic0:
+            ok = ok & (tgt >= 0)
+        else:
+            assert np.all(tgt[ok] >= 0), \
+                "V-product target missing from the filled pattern"
+        pa = base[:, None] + pia_c[None, :]
+        pb = base[:, None] + pib_c[None, :]
+        tg_l.append(tgt[ok])
+        pa_l.append(np.broadcast_to(pa, ok.shape)[ok])
+        pb_l.append(np.broadcast_to(pb, ok.shape)[ok])
+    return (np.concatenate(tg_l), np.concatenate(pa_l), np.concatenate(pb_l))
+
+
+def _build_fwd_blocks(colptr, v_rows, n_lat):
+    """Row-structure forward-solve schedule, bucketed by level."""
+    lev = _solve_levels(colptr, v_rows, n_lat, "fwd")
+    row_ptr, slot_by_row, col_by_row = _csc_transpose_pattern(
+        colptr, v_rows, n_lat)
+    # strip diagonal entries (col == row)
+    offd = col_by_row != np.repeat(np.arange(n_lat), np.diff(row_ptr))
+    slot_by_row = slot_by_row[offd]
+    col_by_row = col_by_row[offd]
+    rcnt = np.bincount(v_rows[v_rows != np.repeat(
+        np.arange(n_lat), np.diff(colptr))], minlength=n_lat)
+    roff = np.zeros(n_lat + 1, dtype=np.int64)
+    np.cumsum(rcnt, out=roff[1:])
+
+    groups = _level_groups(lev)
+    keys = [( _ceil_pow2(g.size),
+              _ceil_pow2(max(int(rcnt[g].max()) if g.size else 0, 1)))
+            for g in groups]
+    bounds = _bucket_by_keys(keys)
+    blocks = []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        nlev = e - s
+        L = max(groups[i].size for i in range(s, e))
+        R = max(int(rcnt[groups[i]].max()) if groups[i].size else 0
+                for i in range(s, e))
+        cols = np.full((nlev, L), -1, dtype=np.int64)
+        for li in range(s, e):
+            cols[li - s, :groups[li].size] = groups[li]
+        okc = cols >= 0
+        cc = np.where(okc, cols, 0)
+        diag_slots = np.where(okc, colptr[cc], -1)
+        if R > 0:
+            ar = np.arange(R)
+            okr = (ar[None, None, :] < rcnt[cc][..., None]) & okc[..., None]
+            idx = roff[cc][..., None] + ar
+            idx_c = np.minimum(idx, max(slot_by_row.size - 1, 0))
+            row_slots = np.where(okr, slot_by_row[idx_c]
+                                 if slot_by_row.size else -1, -1)
+            row_cols = np.where(okr, col_by_row[idx_c]
+                                if col_by_row.size else -1, -1)
+        else:
+            row_slots = np.empty((nlev, L, 0), dtype=np.int64)
+            row_cols = row_slots
+        blocks.append(FwdBlock(cols=cols.astype(np.int32),
+                               diag_slots=diag_slots.astype(np.int32),
+                               row_slots=row_slots.astype(np.int32),
+                               row_cols=row_cols.astype(np.int32)))
+    return blocks
+
+
+def _build_bwd_blocks(colptr, v_rows, n_lat):
+    """Column-structure backward-solve schedule, bucketed by level."""
+    lev = _solve_levels(colptr, v_rows, n_lat, "bwd")
+    widths = np.diff(colptr)
+    rows_pad = np.concatenate([v_rows, [-1]])
+    groups = _level_groups(lev)
+    keys = [(_ceil_pow2(g.size),
+             _ceil_pow2(max(int(widths[g].max()) if g.size else 0, 1)))
+            for g in groups]
+    bounds = _bucket_by_keys(keys)
+    blocks = []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        nlev = e - s
+        L = max(groups[i].size for i in range(s, e))
+        F = max(int(widths[groups[i]].max()) for i in range(s, e))
+        cols = np.full((nlev, L), -1, dtype=np.int64)
+        for li in range(s, e):
+            cols[li - s, :groups[li].size] = groups[li]
+        okc = cols >= 0
+        cc = np.where(okc, cols, 0)
+        ar = np.arange(F)
+        okf = (ar[None, None, :] < widths[cc][..., None]) & okc[..., None]
+        slots = np.where(okf, colptr[cc][..., None] + ar, -1)
+        rws = np.where(slots >= 0,
+                       rows_pad[np.minimum(slots, v_rows.size)], -1)
+        blocks.append(SolveBlock(cols=cols.astype(np.int32),
+                                 slots=slots.astype(np.int32),
+                                 rows=rws.astype(np.int32)))
+    return blocks
+
+
+# --------------------------------------------------------------------------
+# main plan builder
+# --------------------------------------------------------------------------
 
 def build_likelihood_plan(spec, dtype=np.float32) -> LikelihoodPlan:
     """Build the full static plan for likelihood/prediction on device."""
@@ -289,7 +501,7 @@ def build_likelihood_plan(spec, dtype=np.float32) -> LikelihoodPlan:
     # ---- mode ----
     # 'direct' (V = reversed U columns, no factorization) is valid only when
     # no latent point carries an observation (D = 0), i.e. the zy family
-    if spec.cond_yz == "zy":
+    if spec.cond_yz in ("zy", "RVP", "LK"):
         mode = "direct"
     elif spec.ordering_pred == "obspred" and spec.n_pred > 0:
         mode = "obspred"
@@ -299,7 +511,6 @@ def build_likelihood_plan(spec, dtype=np.float32) -> LikelihoodPlan:
     revlat = np.where(has_lat, n_lat - 1 - latent_rank, -1)
 
     # U-tilde column row-sets in rev-lat space (latent rows of latent cols)
-    # row slots: self + latent-conditioned neighbors
     u_rows_rev = np.where(cond, revlat[NN_c], -1)          # (n_all, m+1)
     u_rows_rev = np.where(has_lat[:, None], u_rows_rev, -1)
 
@@ -315,137 +526,161 @@ def build_likelihood_plan(spec, dtype=np.float32) -> LikelihoodPlan:
         nb_resp=nb_resp)
 
     # ---- decide which latent columns are 'direct' vs 'chol' ----
-    # (columns indexed by global rev id j; original latent rank c = n_lat-1-j)
+    # direct cols occupy the leading rev block [0, rev_offset), chol columns
+    # the trailing block [rev_offset, n_lat)
     if mode == "direct":
-        chol_rev_cols = np.empty(0, dtype=np.int64)
-        rev_offset = 0
+        rev_offset = n_lat
     elif mode == "obspred":
-        # obs-era latent vars: points before the first prediction point
         n_obs_lat = int(has_lat[:spec.n_obs].sum())
-        n_pred_lat = n_lat - n_obs_lat
-        plan.n_pred_lat = n_pred_lat
-        chol_rev_cols = np.arange(n_pred_lat, n_lat)
-        rev_offset = n_pred_lat
+        rev_offset = n_lat - n_obs_lat
+        plan.n_pred_lat = rev_offset
     else:
-        chol_rev_cols = np.arange(n_lat)
         rev_offset = 0
+    n_A = n_lat - rev_offset
 
-    # ---- W pattern and slot maps (A-space = rev index - rev_offset) ----
-    col_patterns: dict[int, np.ndarray] = {}
-    if chol_rev_cols.size:
-        n_A = n_lat - rev_offset
-        # contributing U columns: latent cols with original rank c such that
-        # rev id >= rev_offset  <=>  c < n_A
-        contrib = has_lat & (latent_rank < n_A) & (latent_rank >= 0)
-        rr = u_rows_rev[contrib] - rev_offset      # (nc, m+1), -1 invalid
+    # ---- direct columns: reversed U columns, vectorized extraction ----
+    lat_points = spec.latent_point        # latent rank -> point id
+    if rev_offset > 0:
+        # direct rev cols j = 0..rev_offset-1; latent rank c = n_lat-1-j
+        dp = lat_points[n_lat - 1 - np.arange(rev_offset)]
+        cnd = cond[dp]                                    # (D, mp1)
+        rows_mat = np.where(cnd, revlat[NN_c[dp]], np.iinfo(np.int64).max)
+        ordm = np.argsort(rows_mat, axis=1, kind="stable")
+        rows_sorted = np.take_along_axis(rows_mat, ordm, axis=1)
+        dwidths = cnd.sum(axis=1)
+        dmask = np.arange(mp1)[None, :] < dwidths[:, None]
+        dir_rows_flat = rows_sorted[dmask]
+        dir_nn = np.broadcast_to(ordm, rows_sorted.shape)[dmask]
+        dir_pt = np.broadcast_to(dp[:, None], rows_sorted.shape)[dmask]
+    else:
+        dwidths = np.empty(0, np.int64)
+        dir_rows_flat = dir_nn = dir_pt = np.empty(0, np.int64)
+
+    # ---- chol columns: W pattern + symbolic factorization (A-space) ----
+    if n_A > 0:
+        contrib = has_lat & (latent_rank >= 0) & (latent_rank < n_A)
+        rr_all = np.where(contrib[:, None], u_rows_rev - rev_offset, -1)
         iu, ju = np.triu_indices(mp1)
-        pa = iu.astype(np.int64)
-        pb = ju.astype(np.int64)
-        A_r = rr[:, pa]
-        B_r = rr[:, pb]
-        ok = (A_r >= 0) & (B_r >= 0)
-        hi = np.maximum(A_r, B_r)[ok]
-        lo = np.minimum(A_r, B_r)[ok]
-        W0 = csr_from_coo_lower(n_A, hi, lo)    # unfilled W pattern
+        # W pattern from contributing U-column pairs (chunked)
+        pts = np.flatnonzero(contrib)
+        hi_l, lo_l = [], []
+        chunk_pts = max(1, 8_000_000 // max(iu.size, 1))
+        for s in range(0, pts.size, chunk_pts):
+            p = pts[s:s + chunk_pts]
+            A_r = rr_all[p][:, iu]
+            B_r = rr_all[p][:, ju]
+            ok = (A_r >= 0) & (B_r >= 0)
+            hi_l.append(np.maximum(A_r, B_r)[ok])
+            lo_l.append(np.minimum(A_r, B_r)[ok])
+        hi = np.concatenate(hi_l) if hi_l else np.empty(0, np.int64)
+        lo = np.concatenate(lo_l) if lo_l else np.empty(0, np.int64)
+        W0 = csr_from_coo_lower(n_A, hi, lo)
 
-        # ---- symbolic factorization of the A block ----
         if spec.ic0:
-            # incomplete factorization: keep the unfilled pattern; column
-            # patterns are the transpose of the lower-CSR rows
+            # incomplete factorization: keep the unfilled pattern (CSC from
+            # the lower-CSR rows via transpose)
             rows_rep = np.repeat(np.arange(n_A), np.diff(W0.indptr))
             order = np.argsort(W0.indices, kind="stable")
-            colsA: list[np.ndarray] = [None] * n_A
-            sorted_cols = W0.indices[order]
-            sorted_rows = rows_rep[order]
-            bounds = np.flatnonzero(np.diff(sorted_cols)) + 1
-            starts = np.concatenate([[0], bounds, [sorted_cols.size]])
-            by_col = {int(sorted_cols[starts[i]]):
-                      np.sort(sorted_rows[starts[i]:starts[i + 1]])
-                      for i in range(len(starts) - 1) if starts[i] < sorted_cols.size}
-            for jA in range(n_A):
-                colsA[jA] = by_col.get(jA, np.asarray([jA], dtype=np.int64))
-            W = W0
+            srt_cols = W0.indices[order]
+            srt_rows = rows_rep[order]
+            colptr_A = np.zeros(n_A + 1, dtype=np.int64)
+            np.cumsum(np.bincount(srt_cols, minlength=n_A), out=colptr_A[1:])
+            # rows within each column ascending (stable sort preserves)
+            rows_A = srt_rows
         else:
-            colsA, parent, row_level = symbolic_cholesky(W0)
-            # the numeric factorization scatters Schur updates in place, so
-            # the W value array lives on the *filled* pattern
-            from .symbolic import cols_to_lower_csr
-            W = cols_to_lower_csr(colsA, n_A)
-        plan.w_nnz = W.nnz
-        for jA, s in enumerate(colsA):
-            col_patterns[jA + rev_offset] = np.sort(s) + rev_offset
+            colptr_A, rows_A = _symbolic_chol_flat(W0)
+    else:
+        colptr_A = np.zeros(1, dtype=np.int64)
+        rows_A = np.empty(0, np.int64)
 
-        # pair -> slot map for all points; only *contributing* U columns may
-        # scatter (pred columns' obs-row pairs are carried by the direct
-        # V.pr block instead, cf. U2V obspred at R/vecchia_prediction.R:86-107)
-        rr_all = np.where(contrib[:, None], u_rows_rev - rev_offset, -1)
-        A_all = rr_all[:, pa]
-        B_all = rr_all[:, pb]
-        ok_all = (A_all >= 0) & (B_all >= 0)
-        hi_a = np.where(ok_all, np.maximum(A_all, B_all), 0)
-        lo_a = np.where(ok_all, np.minimum(A_all, B_all), 0)
-        slots = W.lookup(hi_a.ravel(), lo_a.ravel()).reshape(n_all, pa.size)
-        plan.w_pair_slots = np.where(ok_all, slots, -1).astype(np.int32)
-        plan.pair_a = pa.astype(np.int32)
-        plan.pair_b = pb.astype(np.int32)
-
-        # D diagonal: latent points with observations contribute 1/nugget
-        dpts = np.flatnonzero(has_lat & has_obs & (latent_rank < n_A))
-        drev = (n_lat - 1 - latent_rank[dpts]) - rev_offset
-        plan.w_diag_slots = W.lookup(drev, drev).astype(np.int32)
-        plan.w_diag_obs_pos = obs_pos[dpts].astype(np.int32)
-
-    # direct columns: reversed U columns
-    direct_rev_cols = np.setdiff1d(np.arange(n_lat), chol_rev_cols)
-    # for each direct col (rev j, latent rank c = n_lat-1-j, point p):
-    # rows = revlat of its latent-conditioned neighbors (incl self)
-    lat_points = spec.latent_point
-    dir_records = []  # (rev_col, rows_sorted, pt, nnslot_sorted)
-    for j in direct_rev_cols:
-        c = n_lat - 1 - j
-        p = lat_points[c]
-        slots_nn = np.flatnonzero(cond[p])
-        rows = revlat[NN_c[p, slots_nn]]
-        order = np.argsort(rows, kind="stable")
-        dir_records.append((j, rows[order], p, slots_nn[order]))
-        col_patterns[j] = rows[order]
-
-    # ---- assemble V column storage ----
-    widths = np.array([col_patterns[j].size for j in range(n_lat)], dtype=np.int64)
+    # ---- merge direct + chol into global V column storage ----
+    widths = np.concatenate([dwidths, np.diff(colptr_A)])
     colptr = np.zeros(n_lat + 1, dtype=np.int64)
     np.cumsum(widths, out=colptr[1:])
-    v_rows = np.concatenate([col_patterns[j] for j in range(n_lat)]) \
+    v_rows = np.concatenate([dir_rows_flat, rows_A + rev_offset]) \
         if n_lat else np.empty(0, np.int64)
     plan.v_nnz = int(v_rows.size)
     plan.v_colptr = colptr
     plan.v_rows = v_rows.astype(np.int32)
     plan.v_diag_slots = colptr[:-1].astype(np.int32)
-    for j in range(n_lat):
-        assert col_patterns[j][0] == j, "diag must lead each V column"
+    assert np.array_equal(v_rows[colptr[:-1]], np.arange(n_lat)), \
+        "diag must lead each V column"
 
-    if dir_records:
-        plan.dir_slots = np.concatenate(
-            [colptr[j] + np.arange(rw.size) for j, rw, _, _ in dir_records]
-        ).astype(np.int32)
-        plan.dir_pt = np.concatenate(
-            [np.full(rw.size, p) for _, rw, p, _ in dir_records]).astype(np.int32)
-        plan.dir_nn = np.concatenate(
-            [sl for _, _, _, sl in dir_records]).astype(np.int32)
-    else:
-        plan.dir_slots = np.empty(0, np.int32)
-        plan.dir_pt = np.empty(0, np.int32)
-        plan.dir_nn = np.empty(0, np.int32)
+    plan.dir_slots = (colptr[np.repeat(np.arange(rev_offset), dwidths)]
+                      + (np.arange(dir_rows_flat.size)
+                         - np.repeat(colptr[:rev_offset], dwidths))
+                      ).astype(np.int32) if rev_offset > 0 else \
+        np.empty(0, np.int32)
+    plan.dir_pt = dir_pt.astype(np.int32)
+    plan.dir_nn = dir_nn.astype(np.int32)
 
-    if chol_rev_cols.size:
-        plan.chol_levels = _build_chol_levels(
-            chol_rev_cols, col_patterns, colptr, W, rev_offset)
+    # ---- value-slot lookup over the V pattern ----
+    col_of = np.repeat(np.arange(n_lat), widths)
+    vkeys = col_of * n_lat + v_rows        # ascending (col-major, rows asc)
+
+    def slot_lookup(cols_q, rows_q):
+        q = cols_q.astype(np.int64) * n_lat + rows_q.astype(np.int64)
+        pos = np.searchsorted(vkeys, q)
+        pos_c = np.minimum(pos, max(vkeys.size - 1, 0))
+        ok = vkeys[pos_c] == q if vkeys.size else np.zeros(q.shape, bool)
+        return np.where(ok, pos_c, -1)
+
+    if n_A > 0:
+        # ---- W assembly schedule: out[t] = sum U[p,a]*U[p,b] (+ D diag) ----
+        off_d = n_all * mp1                   # 1/nugget values
+        off_one = off_d + n_obs               # literal 1.0
+        tg_l, pa_l, pb_l = [], [], []
+        for s in range(0, pts.size, chunk_pts):
+            p = pts[s:s + chunk_pts]
+            rrp = rr_all[p]
+            A_r = rrp[:, iu]
+            B_r = rrp[:, ju]
+            ok = (A_r >= 0) & (B_r >= 0)
+            hi = np.maximum(A_r, B_r) + rev_offset
+            lo = np.minimum(A_r, B_r) + rev_offset
+            tgt = slot_lookup(np.where(ok, lo, 0), np.where(ok, hi, 0))
+            assert np.all(tgt[ok] >= 0), "W entry outside factor pattern"
+            base = (p[:, None] * mp1)
+            pa = base + iu[None, :]
+            pb = base + ju[None, :]
+            tg_l.append(tgt[ok])
+            pa_l.append(np.broadcast_to(pa, ok.shape)[ok])
+            pb_l.append(np.broadcast_to(pb, ok.shape)[ok])
+        # D diagonal: latent points with observations add 1/nugget
+        dpts = np.flatnonzero(has_lat & has_obs & (latent_rank < n_A))
+        if dpts.size:
+            drev = n_lat - 1 - latent_rank[dpts]
+            tg_l.append(colptr[drev])
+            pa_l.append(off_d + obs_pos[dpts])
+            pb_l.append(np.full(dpts.size, off_one, dtype=np.int64))
+        plan.w_schedule = _build_pair_sum(
+            np.concatenate(tg_l), np.concatenate(pa_l), np.concatenate(pb_l),
+            plan.v_nnz)
+
+        # ---- V-product schedule + factor buckets ----
+        tgt_v, pa_v, pb_v = _build_v_product_triples(
+            colptr, v_rows, n_lat, rev_offset, slot_lookup, spec.ic0)
+        plan.factor_buckets = _build_factor_buckets(
+            colptr, v_rows, n_lat, rev_offset, n_A, tgt_v, pa_v, pb_v)
+
+    # ---- z2 schedule: z2[r] = sum col[p,a]*z1L[p] - z1Z[o]/sqrt(nug)@own ----
+    off_one_z = n_all * mp1
+    src = cond & has_lat[:, None]
+    pidx, aidx = np.nonzero(src)
+    tgt_z = latent_rank[NN_c[pidx, aidx]].astype(np.int64)
+    pa_z = pidx * mp1 + aidx
+    pb_z = pidx.astype(np.int64)
+    lat_obs_pts = np.flatnonzero(has_lat & has_obs)
+    if lat_obs_pts.size:
+        tgt_z = np.concatenate([tgt_z, latent_rank[lat_obs_pts]])
+        pa_z = np.concatenate([pa_z,
+                               np.full(lat_obs_pts.size, off_one_z, np.int64)])
+        pb_z = np.concatenate([pb_z, n_all + obs_pos[lat_obs_pts]])
+    plan.z2_schedule = _build_pair_sum(tgt_z, pa_z, pb_z, n_lat)
 
     # ---- solve schedules ----
-    fwd_levels = _forward_levels(colptr, v_rows, n_lat)
-    plan.fwd_blocks = _build_solve_blocks(colptr, v_rows, fwd_levels, n_lat)
-    col_arrays = [col_patterns[j] for j in range(n_lat)]
-    bwd_levels = col_levels_backward(col_arrays)
-    plan.bwd_blocks = _build_solve_blocks(colptr, v_rows, bwd_levels, n_lat)
+    plan.fwd_blocks = _build_fwd_blocks(colptr, v_rows, n_lat)
+    plan.bwd_blocks = _build_bwd_blocks(colptr, v_rows, n_lat)
 
     return plan
 
