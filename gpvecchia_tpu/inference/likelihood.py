@@ -17,7 +17,7 @@ import numpy as np
 
 from ..kernels.covariance import make_kernel_fn
 from ..kernels.u_entries import u_entries
-from ..linalg.sparse import gather0, pair_sum, scatter_set_unique
+from ..linalg.sparse import gather, gather0, pair_sum
 from ..linalg.trisolve import forward_solve
 from ..plan import get_plan
 
@@ -49,23 +49,31 @@ def _device_arrays(plan):
         "latent_rank": jnp.asarray(plan.latent_rank),
         "obs_pos": jnp.asarray(plan.obs_pos),
     }
+    def sched(s):
+        return ([(jnp.asarray(b.pa), jnp.asarray(b.pb)) for b in s.buckets],
+                jnp.asarray(s.gather_map)) if s is not None else ([], None)
+
     dev.update(
-        v_rows=jnp.asarray(plan.v_rows),
         v_diag_slots=jnp.asarray(plan.v_diag_slots),
-        dir_slots=jnp.asarray(plan.dir_slots),
         dir_pt=jnp.asarray(plan.dir_pt),
         dir_nn=jnp.asarray(plan.dir_nn),
-        w_sched=[(jnp.asarray(b.out_idx), jnp.asarray(b.pa), jnp.asarray(b.pb))
-                 for b in plan.w_schedule],
-        z2_sched=[(jnp.asarray(b.out_idx), jnp.asarray(b.pa), jnp.asarray(b.pb))
-                  for b in plan.z2_schedule],
-        factor=[[tuple(jnp.asarray(x) for x in cl) for cl in b.classes]
+        w_sched=sched(plan.w_schedule),
+        z2_sched=sched(plan.z2_schedule),
+        factor=[(jnp.asarray(b.offsets),
+                 tuple((jnp.asarray(pa), jnp.asarray(pb))
+                       for pa, pb, _ in b.diag_classes),
+                 tuple((jnp.asarray(pa), jnp.asarray(pb), jnp.asarray(dloc))
+                       for pa, pb, dloc, _ in b.off_classes))
                 for b in plan.factor_buckets],
         fwd=[(jnp.asarray(b.cols), jnp.asarray(b.diag_slots),
-              jnp.asarray(b.row_slots), jnp.asarray(b.row_cols))
+              jnp.asarray(b.row_slots), jnp.asarray(b.row_cols),
+              jnp.asarray(b.offsets))
              for b in plan.fwd_blocks],
-        bwd=[(jnp.asarray(b.cols), jnp.asarray(b.slots), jnp.asarray(b.rows))
+        bwd=[(jnp.asarray(b.cols), jnp.asarray(b.slots), jnp.asarray(b.rows),
+              jnp.asarray(b.offsets))
              for b in plan.bwd_blocks],
+        fwd_x_perm=jnp.asarray(plan.fwd_x_perm),
+        bwd_x_perm=jnp.asarray(plan.bwd_x_perm),
     )
     plan.compiled["dev"] = dev
     return dev
@@ -78,59 +86,72 @@ def _nugget_vectors(plan, dev, nuggets, dt):
     """
     nug_vec = jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(nuggets, dt)),
                                (plan.n_obs,))
-    nug_ord = nug_vec[dev["ord_z"]]
+    nug_ord = gather(nug_vec, dev["ord_z"])
     nug_point = jnp.zeros(plan.n_all, dt).at[dev["obs_points"]].set(nug_ord)
     return nug_ord, nug_point
 
 
 def compute_v_factor(plan, dev, col, nug_ord, dt):
-    """Numeric V factor values (v_flat) from U columns and nuggets.
+    """Numeric V factor values (physical layout) from U columns and nuggets.
 
     Up-looking exact factorization on the static schedule (plan.py): W is
-    assembled once as a gather-based pair reduction, then each elimination
-    level computes whole columns from already-final values — no mutable W,
-    no colliding scatters (cf. the reference's Matrix::chol / ic0 at
+    assembled once as a gather-based pair reduction directly into the
+    physical level layout, then each elimination level computes its
+    contiguous segment (diagonals first, then off-diagonals normalized by
+    rsqrt of their column's diagonal) and appends it with one
+    dynamic_update_slice — gathers and dense reductions only, zero scatter
+    ops (cf. the reference's Matrix::chol / ic0 at
     /root/reference/R/vecchia_prediction.R:74-84, src/ic0.cpp:43-64).
     """
-    v_flat = jnp.zeros(plan.v_nnz, dt)
-    # direct columns: reversed U columns copied verbatim
-    if plan.dir_slots.size:
-        v_flat = scatter_set_unique(v_flat, dev["dir_slots"],
-                                    col[dev["dir_pt"], dev["dir_nn"]])
+    # direct columns occupy physical [0, n_dir): one contiguous gather
+    v_dir = col[dev["dir_pt"], dev["dir_nn"]]
     if not dev["factor"]:
-        return v_flat
+        return v_dir
     # W on the factor pattern from U products + 1/nugget diagonal terms
     ucat = jnp.concatenate([col.ravel(), 1.0 / nug_ord, jnp.ones(1, dt)])
-    w_init = pair_sum(ucat, ucat, dev["w_sched"], plan.v_nnz, dt)
+    w_phys = pair_sum(ucat, ucat, dev["w_sched"], dt)
 
     tiny = jnp.asarray(1e-30, dt)
+    v = jnp.concatenate([v_dir,
+                         jnp.zeros(plan.v_phys_size - plan.n_dir, dt)])
 
-    def body(carry, xs):
-        v_flat, dbuf = carry
-        raws = []
-        for out, cols, dtar, pa, pb in xs:
-            w0 = gather0(w_init, out)
-            if pa.shape[-1] > 0:
-                prods = gather0(v_flat, pa) * gather0(v_flat, pb)
-                raw = w0 - jnp.sum(prods, axis=-1)
-            else:
-                raw = w0
-            dbuf = scatter_set_unique(dbuf, dtar, raw)
-            raws.append(raw)
-        for (out, cols, dtar, pa, pb), raw in zip(xs, raws):
-            colv = raw * jax.lax.rsqrt(
-                jnp.maximum(dbuf[jnp.clip(cols, 0)], tiny))
-            v_flat = scatter_set_unique(v_flat, out, colv)
-        return (v_flat, dbuf), None
+    for offsets, diag_classes, off_classes in dev["factor"]:
+        S = (sum(pa.shape[-2] for pa, _ in diag_classes)
+             + sum(pa.shape[-2] for pa, _, _ in off_classes))
 
-    dbuf = jnp.zeros(plan.n_lat, dt)
-    carry = (v_flat, dbuf)
-    for bucket in dev["factor"]:
-        if bucket[0][0].shape[0] == 1:
-            carry, _ = body(carry, jax.tree.map(lambda a: a[0], bucket))
+        def body(v, xs, S=S):
+            off, dcls, ocls = xs
+            w_lvl = jax.lax.dynamic_slice(w_phys, (off,), (S,))
+            pos = 0
+            dparts = []
+            for pa, pb in dcls:
+                E, C = pa.shape[-2], pa.shape[-1]
+                w0 = w_lvl[pos:pos + E]
+                if C > 0:
+                    w0 = w0 - jnp.sum(gather0(v, pa) * gather0(v, pb),
+                                      axis=-1)
+                dparts.append(w0)
+                pos += E
+            draw = jnp.concatenate(dparts) if len(dparts) > 1 else dparts[0]
+            dinv = jax.lax.rsqrt(jnp.maximum(draw, tiny))
+            parts = [draw * dinv]                     # sqrt of the diagonals
+            for pa, pb, dloc in ocls:
+                E, C = pa.shape[-2], pa.shape[-1]
+                raw = w_lvl[pos:pos + E]
+                if C > 0:
+                    raw = raw - jnp.sum(gather0(v, pa) * gather0(v, pb),
+                                        axis=-1)
+                parts.append(raw * gather(dinv, jnp.clip(dloc, 0)))
+                pos += E
+            lvl = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+            return jax.lax.dynamic_update_slice(v, lvl, (off,)), None
+
+        xs = (offsets, diag_classes, off_classes)
+        if offsets.shape[0] == 1:
+            v, _ = body(v, jax.tree.map(lambda a: a[0], xs))
         else:
-            carry, _ = jax.lax.scan(body, carry, bucket)
-    return carry[0]
+            v, _ = jax.lax.scan(body, v, xs)
+    return v
 
 
 def _dispatch_covmodel(spec, covmodel, dtype):
@@ -178,7 +199,7 @@ def _loglik_core(plan, kernel_fn, covmat, dev, z, covparms, nuggets, sel=None):
     col = u_entries(dev["locs"], dev["NN"], dev["valid"], dev["cond"],
                     nug_point, kernel_fn, covparms, covmat=covmat, sel=sel)
 
-    zord = z[dev["ord_z"]]
+    zord = gather(z, dev["ord_z"])
 
     # z1 over U columns: latent cols gather response-conditioned neighbors
     znb = zord[dev["nb_obs_pos"]]
@@ -197,14 +218,14 @@ def _loglik_core(plan, kernel_fn, covmat, dev, z, covparms, nuggets, sel=None):
     # point's own latent row (schedule built in plan.py)
     ucat_z = jnp.concatenate([col.ravel(), jnp.ones(1, dt)])
     zcat = jnp.concatenate([z1L, -z1Z / jnp.sqrt(nug_ord)])
-    z2 = pair_sum(ucat_z, zcat, dev["z2_sched"], n_lat, dt)
+    z2 = pair_sum(ucat_z, zcat, dev["z2_sched"], dt)
 
     # denominator through V
     v_flat = compute_v_factor(plan, dev, col, nug_ord, dt)
     z2rev = z2[::-1]
-    z3 = forward_solve(v_flat, z2rev, dev["fwd"])
+    z3 = forward_solve(v_flat, z2rev, dev["fwd"], x_size=plan.fwd_x_size)
     quad_denom = jnp.sum(z3 * z3)
-    logdet_denom = -2.0 * jnp.sum(jnp.log(v_flat[dev["v_diag_slots"]]))
+    logdet_denom = -2.0 * jnp.sum(jnp.log(gather(v_flat, dev["v_diag_slots"])))
 
     const = plan.n_obs * math.log(2.0 * math.pi)
     neg2 = logdet_num - logdet_denom + quad_num - quad_denom + const

@@ -37,7 +37,8 @@ def _posterior_core(plan, kernel_fn, covmat, dev, z, covparms, nuggets,
     nug_ord, nug_point = _nugget_vectors(plan, dev, nuggets, dt)
     col = u_entries(dev["locs"], dev["NN"], dev["valid"], dev["cond"],
                     nug_point, kernel_fn, covparms, covmat=covmat, sel=sel)
-    zord = z[dev["ord_z"]]
+    from ..linalg.sparse import gather
+    zord = gather(z, dev["ord_z"])
 
     znb = zord[dev["nb_obs_pos"]]
     z1L = jnp.sum(jnp.where(dev["nb_resp"], col * znb, 0.0), axis=1)
@@ -47,11 +48,13 @@ def _posterior_core(plan, kernel_fn, covmat, dev, z, covparms, nuggets,
     n_lat = plan.n_lat
     ucat_z = jnp.concatenate([col.ravel(), jnp.ones(1, dt)])
     zcat = jnp.concatenate([z1L, -z1Z / jnp.sqrt(nug_ord)])
-    z2 = pair_sum(ucat_z, zcat, dev["z2_sched"], n_lat, dt)
+    z2 = pair_sum(ucat_z, zcat, dev["z2_sched"], dt)
 
     v_flat = compute_v_factor(plan, dev, col, nug_ord, dt)
-    temp = forward_solve(v_flat, z2[::-1], dev["fwd"])
-    mu_rev = -backward_solve(v_flat, temp, dev["bwd"])
+    temp = forward_solve(v_flat, z2[::-1], dev["fwd"],
+                         x_perm=dev["fwd_x_perm"], x_size=plan.fwd_x_size)
+    mu_rev = -backward_solve(v_flat, temp, dev["bwd"],
+                             x_perm=dev["bwd_x_perm"], x_size=plan.bwd_x_size)
     mu_ord = mu_rev[::-1]       # over latent vars in ordered sequence
     return mu_ord, v_flat, col, nug_ord
 
@@ -82,7 +85,7 @@ def _pred_fns(spec, covmodel, dtype=None):
 
     @jax.jit
     def var_fn(v_flat):
-        z_flat = selected_inverse(v_flat, selinv_levels, plan.v_nnz)
+        z_flat = selected_inverse(v_flat, selinv_levels, plan.v_phys_size)
         diag_rev = z_flat[jnp.asarray(plan.v_diag_slots)]
         return diag_rev[::-1]    # variances over latent vars, ordered sequence
 
@@ -197,7 +200,7 @@ def V2covmat(spec, v_flat):
     n = plan.n_lat
     V = np.zeros((n, n))
     cp = plan.v_colptr
-    vf = np.asarray(v_flat)
+    vf = np.asarray(v_flat)[plan.v_perm]     # physical -> logical col-major
     for j in range(n):
         V[plan.v_rows[cp[j]:cp[j + 1]], j] = vf[cp[j]:cp[j + 1]]
     Sigma_rev = np.linalg.inv(V @ V.T)

@@ -167,9 +167,10 @@ def u_entries(locs, NN, valid, cond, nug_point, kernel_fn, covparms,
         x = crout_solve_e0(Cp, mp1)              # (m+1, n)
         col = (x * jax.lax.rsqrt(x[:1])).T       # (n, m+1)
     else:
-        iu, ju, _ = _packed_index(mp1)
-        C = jnp.zeros((Cp.shape[1], mp1, mp1), Cp.dtype)
-        C = C.at[:, iu, ju].set(Cp.T).at[:, ju, iu].set(Cp.T)
+        _, _, pk = _packed_index(mp1)
+        # packed -> full via a static (F, F) gather (the equivalent scatter
+        # formulation compiles pathologically slowly on XLA:CPU)
+        C = Cp.T[:, jnp.asarray(pk)]
         e0 = jnp.zeros((C.shape[0], mp1), C.dtype).at[:, 0].set(1.0)
         chol = jnp.linalg.cholesky(C)
         x = jax.scipy.linalg.cho_solve((chol, True), e0[..., None])[..., 0]

@@ -38,16 +38,21 @@ class SelInvLevel:
 
 
 def build_selinv_levels(plan):
-    """Host-side: bucket-grouped slot maps for the Takahashi recursion."""
+    """Host-side: bucket-grouped slot maps for the Takahashi recursion.
+
+    All slot indices are in the plan's PHYSICAL V layout (Z values share
+    that layout, so v/z reads and z writes use the same maps).
+    """
     colptr = plan.v_colptr
     rows = plan.v_rows.astype(np.int64)
+    v_perm = plan.v_perm
     n = plan.n_lat
-    # (row, col) -> flat slot lookup over the V column storage
+    # (row, col) -> PHYSICAL slot lookup over the V column storage
     col_of = np.repeat(np.arange(n), np.diff(colptr))
     keys = rows * n + col_of
     order = np.argsort(keys, kind="stable")
     sorted_keys = keys[order]
-    slot_of = order
+    slot_of = v_perm[order]
 
     def lookup(r, c):
         q = r.astype(np.int64) * n + c.astype(np.int64)
@@ -67,10 +72,10 @@ def build_selinv_levels(plan):
         F = int(widths.max())
         ar = np.arange(F)[None, None, :]
         wmask = ar < widths[:, :, None]
-        slots = np.where(wmask, colptr[cols_c][:, :, None] + ar, -1)
+        lslots = np.where(wmask, colptr[cols_c][:, :, None] + ar, 0)
+        slots = np.where(wmask, v_perm[lslots], -1)
         if F > 1:
-            anc = np.where(wmask[:, :, 1:],
-                           rows[np.clip(slots[:, :, 1:], 0, rows.size - 1)], -1)
+            anc = np.where(wmask[:, :, 1:], rows[lslots[:, :, 1:]], -1)
             av = anc >= 0
             aa = np.where(av, anc, 0)
             hi = np.maximum(aa[:, :, :, None], aa[:, :, None, :])

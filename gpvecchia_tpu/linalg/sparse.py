@@ -40,20 +40,35 @@ def scatter_set_unique(arr, idx, vals):
                                               unique_indices=True)
 
 
+def gather(arr, idx):
+    """arr[idx], lifting 1-D index arrays to 2-D first.
+
+    XLA compiles long chains of rank-1 gathers pathologically slowly
+    (hundreds of ms each); the same gather with a 2-D index array is fine.
+    """
+    idx = jnp.asarray(idx)
+    if idx.ndim == 1:
+        return arr[idx[None]][0]
+    return arr[idx]
+
+
 def gather0(arr, idx):
     """arr[idx] with idx < 0 yielding 0."""
     idx = jnp.asarray(idx)
-    return jnp.where(idx >= 0, arr[jnp.clip(idx, 0)], 0.0)
+    return jnp.where(idx >= 0, gather(arr, jnp.clip(idx, 0)), 0.0)
 
 
-def pair_sum(A, B, buckets, n_out, dtype=None):
-    """out[t] = sum_c A[pa[t,c]] * B[pb[t,c]] over count-class buckets.
+def pair_sum(A, B, sched, dtype=None):
+    """out[t] = sum_c A[pa[t,c]] * B[pb[t,c]], scatter-free.
 
-    `buckets` is a list of (out_idx, pa, pb) index triples built by
-    plan._build_pair_sum; out_idx are unique across buckets, pads are -1.
+    `sched` is (buckets, gather_map) from plan._build_pair_sum: each bucket
+    computes a contiguous count-class segment; the concatenation (plus a
+    zero sentinel) is recombined into target order by one static gather.
     """
-    out = jnp.zeros(n_out, dtype if dtype is not None else A.dtype)
-    for out_idx, pa, pb in buckets:
-        vals = jnp.sum(gather0(A, pa) * gather0(B, pb), axis=1)
-        out = out.at[out_idx].set(vals, unique_indices=True)
-    return out
+    buckets, gmap = sched
+    dt = dtype if dtype is not None else A.dtype
+    parts = [jnp.sum(gather0(A, pa) * gather0(B, pb), axis=1)
+             for pa, pb in buckets]
+    cat = jnp.concatenate(parts + [jnp.zeros(1, dt)]) if parts else \
+        jnp.zeros(1, dt)
+    return gather(cat, gmap)

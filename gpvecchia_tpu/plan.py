@@ -37,48 +37,65 @@ __all__ = ["LikelihoodPlan", "build_likelihood_plan", "get_plan"]
 
 @dataclasses.dataclass
 class PairSumBucket:
-    """out[t] = sum_c A[pa[t,c]] * B[pb[t,c]] for a count-class of targets."""
-    out_idx: np.ndarray     # (E,) int32 target slots (globally unique)
+    """Contiguous count-class segment: part[t] = sum_c A[pa[t,c]]*B[pb[t,c]].
+
+    The device concatenates the class parts (plus a zero sentinel) and
+    recombines them into target order with ONE static gather (`gather_map`
+    on the schedule) — no scatter ops, which XLA compiles pathologically
+    slowly in long chains.
+    """
+    out_idx: np.ndarray     # (E,) int64 target slots (host bookkeeping only)
     pa: np.ndarray          # (E, C) int32 into A, -1 pad
     pb: np.ndarray          # (E, C) int32 into B, -1 pad
+
+
+@dataclasses.dataclass
+class PairSumSchedule:
+    buckets: list           # of PairSumBucket
+    gather_map: np.ndarray  # (n_out,) int32 into concat(parts)+[0] sentinel
 
 
 @dataclasses.dataclass
 class FactorBucket:
     """A bucket of consecutive elimination levels of the up-looking factor.
 
-    Entries (V nonzeros) of each level are split by product-count class so
-    long-tailed count distributions don't blow up padding; each class holds
-    flat per-entry arrays padded to (nlev, E, C):
+    The V value array uses a PHYSICAL layout ordered exactly like the
+    computation: per level, the diagonal entries (grouped by product-count
+    class, padded to E) come first, then the off-diagonal entries (ditto),
+    so every level writes one contiguous dynamic_update_slice — zero
+    scatters.  All pa/pb/dloc indices are physical.
 
-        raw  = w_init[out] - sum_c v[pa]*v[pb]
-        dbuf[col] = raw            (diagonal entries only)
-        v[out] = raw * rsqrt(dbuf[col])     (== sqrt(raw) on the diagonal)
-
-    `classes` is a list of (out_slots, cols, dtar, pa, pb) tuples:
-      out_slots (nlev, E)    v_flat slots, -1 pad
-      cols      (nlev, E)    column id of each entry (for the dbuf gather)
-      dtar      (nlev, E)    column id if the entry is the diagonal else -1
-      pa, pb    (nlev, E, C) v_flat slots of the product operands, -1 pad
+        raw_d  = w[seg] - sum v[pa]*v[pb]        (diag classes)
+        raw_o  = w[seg] - sum v[pa]*v[pb]        (offdiag classes)
+        level  = concat(sqrt(raw_d)..., raw_o * rsqrt(raw_d)[dloc]...)
     """
-    classes: list
+    S: int                  # per-level segment length (sum of padded classes)
+    offsets: np.ndarray     # (nlev,) int32 physical start of each level
+    diag_classes: list      # of (pa, pb): (nlev, E, C) int32, -1 pad
+    off_classes: list       # of (pa, pb, dloc): dloc (nlev, E) into level diag
 
 
 @dataclasses.dataclass
 class FwdBlock:
-    """A bucket of consecutive forward-solve levels (row-structure based)."""
-    cols: np.ndarray        # (nlev, L) int32 unknown ids, -1 pad
-    diag_slots: np.ndarray  # (nlev, L) int32 v_flat slot of the diagonal
-    row_slots: np.ndarray   # (nlev, L, R) int32 v slots of row entries, -1 pad
-    row_cols: np.ndarray    # (nlev, L, R) int32 their column ids, -1 pad
+    """A bucket of consecutive forward-solve levels (row-structure based).
+
+    The solution vector x lives in a level-ordered physical layout; each
+    level writes one contiguous dynamic_update_slice.
+    """
+    cols: np.ndarray        # (nlev, L) int32 logical unknown ids (-1 pad)
+    diag_slots: np.ndarray  # (nlev, L) int32 physical v slot of the diagonal
+    row_slots: np.ndarray   # (nlev, L, R) int32 physical v slots, -1 pad
+    row_cols: np.ndarray    # (nlev, L, R) int32 physical x positions, -1 pad
+    offsets: np.ndarray     # (nlev,) int32 physical x start of each level
 
 
 @dataclasses.dataclass
 class SolveBlock:
     """A bucket of consecutive backward-solve levels (column-structure)."""
-    cols: np.ndarray        # (nlev, L) column ids, -1 pad
-    slots: np.ndarray       # (nlev, L, F) v_flat slots per column (diag first)
-    rows: np.ndarray        # (nlev, L, F) row indices (diag first), -1 pad
+    cols: np.ndarray        # (nlev, L) logical column ids, -1 pad
+    slots: np.ndarray       # (nlev, L, F) physical v slots (diag first)
+    rows: np.ndarray        # (nlev, L, F) physical x positions, -1 pad
+    offsets: np.ndarray     # (nlev,) int32 physical x start of each level
 
 
 @dataclasses.dataclass
@@ -103,26 +120,36 @@ class LikelihoodPlan:
     nb_obs_pos: np.ndarray       # (n_all, m+1) obs position of neighbors (clamped)
     nb_resp: np.ndarray          # (n_all, m+1) bool: valid response-conditioned nb
 
-    # V storage
+    # V storage: logical pattern (column-major CSC) + physical layout
     v_nnz: int = 0
+    v_phys_size: int = 0
     v_colptr: np.ndarray | None = None
-    v_rows: np.ndarray | None = None         # (v_nnz,) int32
-    v_diag_slots: np.ndarray | None = None   # (n_lat,)
-    dir_slots: np.ndarray | None = None      # (K,) targets in v_flat
-    dir_pt: np.ndarray | None = None         # (K,) point ids
-    dir_nn: np.ndarray | None = None         # (K,) NNarray slot ids
+    v_rows: np.ndarray | None = None         # (v_nnz,) int32 logical rows
+    v_perm: np.ndarray | None = None         # (v_nnz,) logical -> physical
+    v_diag_slots: np.ndarray | None = None   # (n_lat,) PHYSICAL diag slots
+    n_dir: int = 0                           # direct entries = phys [0, n_dir)
+    dir_pt: np.ndarray | None = None         # (n_dir,) point ids
+    dir_nn: np.ndarray | None = None         # (n_dir,) NNarray slot ids
 
     # gather-based schedules
-    w_schedule: list = dataclasses.field(default_factory=list)   # PairSumBucket
+    w_schedule: PairSumSchedule | None = None    # -> w in PHYSICAL layout
     factor_buckets: list = dataclasses.field(default_factory=list)
-    z2_schedule: list = dataclasses.field(default_factory=list)  # PairSumBucket
+    z2_schedule: PairSumSchedule | None = None   # -> z2 (n_lat, logical)
 
-    # triangular solve schedules
+    # triangular solve schedules (+ physical x layouts)
     fwd_blocks: list = dataclasses.field(default_factory=list)   # FwdBlock
     bwd_blocks: list = dataclasses.field(default_factory=list)   # SolveBlock
+    fwd_x_size: int = 0
+    fwd_x_perm: np.ndarray | None = None     # (n_lat,) logical -> physical
+    bwd_x_size: int = 0
+    bwd_x_perm: np.ndarray | None = None
 
     # compiled function cache
     compiled: dict = dataclasses.field(default_factory=dict)
+
+    def to_logical(self, v_phys):
+        """Physical V values -> logical column-major order (jnp or np)."""
+        return v_phys[self.v_perm]
 
 
 # --------------------------------------------------------------------------
@@ -144,10 +171,12 @@ def _ragged_to_padded(values, widths, fill=-1, order_check=None):
 
 
 def _build_pair_sum(targets, pa, pb, n_out):
-    """Group (target, pa, pb) triples into count-class PairSumBuckets."""
+    """Group (target, pa, pb) triples into a scatter-free PairSumSchedule."""
     targets = np.asarray(targets, dtype=np.int64)
+    gather_map = np.full(n_out, 0, dtype=np.int64)
     if targets.size == 0:
-        return []
+        return PairSumSchedule(buckets=[],
+                               gather_map=gather_map.astype(np.int32))
     order = np.argsort(targets, kind="stable")
     pa_s = np.asarray(pa, dtype=np.int64)[order]
     pb_s = np.asarray(pb, dtype=np.int64)[order]
@@ -157,6 +186,7 @@ def _build_pair_sum(targets, pa, pb, n_out):
     np.cumsum(counts, out=offs[1:])
     cls = np.ceil(np.log2(np.maximum(counts[uniq], 1))).astype(np.int64)
     buckets = []
+    pos = 0
     for c in np.unique(cls):
         sel = uniq[cls == c]
         C = int(counts[sel].max())
@@ -165,10 +195,15 @@ def _build_pair_sum(targets, pa, pb, n_out):
         idx = offs[sel][:, None] + ar
         idx_c = np.minimum(idx, pa_s.size - 1)
         buckets.append(PairSumBucket(
-            out_idx=sel.astype(np.int32),
+            out_idx=sel,
             pa=np.where(ok, pa_s[idx_c], -1).astype(np.int32),
             pb=np.where(ok, pb_s[idx_c], -1).astype(np.int32)))
-    return buckets
+        gather_map[sel] = pos + np.arange(sel.size)
+        pos += sel.size
+    # targets with no sources read the zero sentinel appended at `pos`
+    gather_map[counts == 0] = pos
+    return PairSumSchedule(buckets=buckets,
+                           gather_map=gather_map.astype(np.int32))
 
 
 def _level_groups(levels):
@@ -246,98 +281,150 @@ def _csc_transpose_pattern(colptr, rows, n):
 # factor schedule (up-looking exact Cholesky / IC0 on the static pattern)
 # --------------------------------------------------------------------------
 
-_COUNT_CLASSES = (0, 4, 16, 64, 256, 1024, 4096, 16384, 65536)
+_COUNT_CLASSES = (0, 4, 16, 64, 256, 1024, 4096, 16384, 65536, 262144)
 
 
 def _build_factor_buckets(colptr, v_rows, n_lat, rev_offset, n_A,
                           tgt_v, pa_v, pb_v):
-    """Bucket chol columns by elimination level, entries by count class."""
-    # per-column dependency levels over the chol (A) region
-    colptr_A = colptr[rev_offset:] - colptr[rev_offset]
-    rows_A = v_rows[colptr[rev_offset]:] - rev_offset
+    """Physical level/class layout of V + factor schedule.
+
+    Returns (buckets, v_perm, v_phys_size): entries are laid out so that
+    every elimination level occupies one contiguous padded segment
+    (diag-class segments first, then offdiag-class segments), all within a
+    bucket sharing the same segment shape so the bucket runs as one
+    lax.scan of gather -> reduce -> dynamic_update_slice steps.
+    """
+    v_nnz = int(v_rows.size)
+    n_dir = int(colptr[rev_offset])
+    v_perm = np.empty(v_nnz, dtype=np.int64)
+    v_perm[:n_dir] = np.arange(n_dir)
+    if n_A == 0:
+        return [], v_perm, n_dir
+
+    colptr_A = colptr[rev_offset:] - n_dir
+    rows_A = v_rows[n_dir:] - rev_offset
     lev_col = _solve_levels(colptr_A, rows_A, n_A, "fwd")
 
-    # sorted V-product triples + per-slot offsets
+    # sorted V-product triples + per-logical-slot offsets
     tgt_v = np.asarray(tgt_v, dtype=np.int64)
     order = np.argsort(tgt_v, kind="stable")
     pa_s = np.asarray(pa_v, dtype=np.int64)[order]
     pb_s = np.asarray(pb_v, dtype=np.int64)[order]
-    v_nnz = int(v_rows.size)
     counts = np.bincount(tgt_v, minlength=v_nnz) if tgt_v.size else \
         np.zeros(v_nnz, dtype=np.int64)
     offs = np.zeros(v_nnz + 1, dtype=np.int64)
     np.cumsum(counts, out=offs[1:])
 
-    # flat per-entry arrays over the chol region
-    base = colptr[rev_offset]
-    slots_all = np.arange(base, v_nnz, dtype=np.int64)
+    # flat chol-entry descriptors
+    slots_all = np.arange(n_dir, v_nnz, dtype=np.int64)
     widths = np.diff(colptr)
     col_all = np.repeat(np.arange(rev_offset, n_lat), widths[rev_offset:])
     lev_all = lev_col[col_all - rev_offset]
     isdiag = slots_all == colptr[col_all]
+    part_all = np.where(isdiag, 0, 1)
     cnt_all = counts[slots_all]
+    assert cnt_all.max(initial=0) <= _COUNT_CLASSES[-1]
     cls_all = np.searchsorted(np.asarray(_COUNT_CLASSES), cnt_all)
 
     nclasses = len(_COUNT_CLASSES)
-    # group entries by (level, class); levels ascending
     n_levels = int(lev_all.max()) if lev_all.size else 0
-    ecounts = np.zeros((n_levels + 1, nclasses), dtype=np.int64)
-    np.add.at(ecounts, (lev_all, cls_all), 1)
-    present = np.flatnonzero(ecounts.sum(axis=0) > 0)
-    order_e = np.lexsort((slots_all, cls_all, lev_all))
+    ecounts = np.zeros((n_levels + 1, 2, nclasses), dtype=np.int64)
+    np.add.at(ecounts, (lev_all, part_all, cls_all), 1)
+    order_e = np.lexsort((slots_all, cls_all, part_all, lev_all))
     slots_sorted = slots_all[order_e]
     col_sorted = col_all[order_e]
-    diag_sorted = isdiag[order_e]
     cnt_sorted = cnt_all[order_e]
-    # start offsets of each (level, class) segment in the sorted arrays
-    seg_off = np.zeros((n_levels + 1) * nclasses + 1, dtype=np.int64)
+    seg_off = np.zeros(ecounts.size + 1, dtype=np.int64)
     np.cumsum(ecounts.ravel(), out=seg_off[1:])
 
-    # bucket levels on the pow2 profile of per-class entry counts
-    keys = [tuple(_ceil_pow2(int(ecounts[l, c])) if ecounts[l, c] else 0
-                  for c in present)
+    def seg(l, p, c):
+        i = (l * 2 + p) * nclasses + c
+        return seg_off[i], seg_off[i + 1]
+
+    present_d = np.flatnonzero(ecounts[:, 0, :].sum(axis=0) > 0)
+    present_o = np.flatnonzero(ecounts[:, 1, :].sum(axis=0) > 0)
+
+    keys = [tuple(_ceil_pow2(int(ecounts[l, p, c])) if ecounts[l, p, c] else 0
+                  for p, pres in ((0, present_d), (1, present_o))
+                  for c in pres)
             for l in range(1, n_levels + 1)]
     bounds = _bucket_by_keys(keys)
 
-    buckets = []
+    # ---- pass 1: assign physical positions (and per-level diag positions) ----
+    phys = n_dir
+    dpos_of_col = np.full(n_lat, -1, dtype=np.int64)
+    bucket_meta = []          # (lv_lo, lv_hi, S, offsets, Ed list, Eo list)
     for s, e in zip(bounds[:-1], bounds[1:]):
-        lv_lo, lv_hi = s + 1, e + 1          # level ids in [lv_lo, lv_hi)
+        lv_lo, lv_hi = s + 1, e + 1
         nlev = e - s
-        classes = []
-        for ci, c in enumerate(present):
-            E = int(ecounts[lv_lo:lv_hi, c].max())
+        Ed = [int(ecounts[lv_lo:lv_hi, 0, c].max()) for c in present_d]
+        Eo = [int(ecounts[lv_lo:lv_hi, 1, c].max()) for c in present_o]
+        S = sum(Ed) + sum(Eo)
+        offsets = phys + np.arange(nlev, dtype=np.int64) * S
+        for li, l in enumerate(range(lv_lo, lv_hi)):
+            pos = offsets[li]
+            dbase = 0
+            for c, E in zip(present_d, Ed):
+                a, b = seg(l, 0, c)
+                k = b - a
+                v_perm[slots_sorted[a:b]] = pos + np.arange(k)
+                dpos_of_col[col_sorted[a:b]] = dbase + np.arange(k)
+                pos += E
+                dbase += E
+            for c, E in zip(present_o, Eo):
+                a, b = seg(l, 1, c)
+                v_perm[slots_sorted[a:b]] = pos + np.arange(b - a)
+                pos += E
+        phys += nlev * S
+        bucket_meta.append((lv_lo, lv_hi, S, offsets, Ed, Eo))
+    v_phys_size = int(phys)
+
+    # ---- pass 2: build padded class arrays (physical product operands) ----
+    pa_phys = v_perm[pa_s] if pa_s.size else pa_s
+    pb_phys = v_perm[pb_s] if pb_s.size else pb_s
+
+    def padded_products(l_range, p, c, E):
+        nlev = len(l_range)
+        C = int(_COUNT_CLASSES[c])
+        cntb = np.zeros((nlev, E), dtype=np.int64)
+        offb = np.zeros((nlev, E), dtype=np.int64)
+        colb = np.zeros((nlev, E), dtype=np.int64)
+        for li, l in enumerate(l_range):
+            a, b = seg(l, p, c)
+            k = b - a
+            cntb[li, :k] = cnt_sorted[a:b]
+            offb[li, :k] = offs[slots_sorted[a:b]]
+            colb[li, :k] = col_sorted[a:b]
+        if C == 0:
+            z = np.empty((nlev, E, 0), dtype=np.int32)
+            return z, z, colb
+        arc = np.arange(C)
+        okc = arc[None, None, :] < cntb[..., None]
+        idx = np.minimum(offb[..., None] + arc, max(pa_phys.size - 1, 0))
+        pa = np.where(okc, pa_phys[idx] if pa_phys.size else -1, -1)
+        pb = np.where(okc, pb_phys[idx] if pb_phys.size else -1, -1)
+        return pa.astype(np.int32), pb.astype(np.int32), colb
+
+    buckets = []
+    for lv_lo, lv_hi, S, offsets, Ed, Eo in bucket_meta:
+        l_range = range(lv_lo, lv_hi)
+        diag_classes = []
+        for c, E in zip(present_d, Ed):
             if E == 0:
                 continue
-            C = int(_COUNT_CLASSES[c]) if c < nclasses else 0
-            out = np.full((nlev, E), -1, dtype=np.int64)
-            colsb = np.zeros((nlev, E), dtype=np.int64)
-            dtar = np.full((nlev, E), -1, dtype=np.int64)
-            cntb = np.zeros((nlev, E), dtype=np.int64)
-            for li, l in enumerate(range(lv_lo, lv_hi)):
-                seg = l * nclasses + c
-                a, b = seg_off[seg], seg_off[seg + 1]
-                k = b - a
-                out[li, :k] = slots_sorted[a:b]
-                colsb[li, :k] = col_sorted[a:b]
-                dtar[li, :k] = np.where(diag_sorted[a:b],
-                                        col_sorted[a:b], -1)
-                cntb[li, :k] = cnt_sorted[a:b]
-            if C > 0:
-                arc = np.arange(C)
-                okc = arc[None, None, :] < cntb[..., None]
-                oute = np.where(out >= 0, out, 0)
-                idx = offs[oute][..., None] + arc
-                idx_c = np.minimum(idx, max(pa_s.size - 1, 0))
-                pa = np.where(okc, pa_s[idx_c] if pa_s.size else -1, -1)
-                pb = np.where(okc, pb_s[idx_c] if pb_s.size else -1, -1)
-            else:
-                pa = np.empty((nlev, E, 0), dtype=np.int64)
-                pb = pa
-            classes.append((out.astype(np.int32), colsb.astype(np.int32),
-                            dtar.astype(np.int32), pa.astype(np.int32),
-                            pb.astype(np.int32)))
-        buckets.append(FactorBucket(classes=classes))
-    return buckets
+            pa, pb, _ = padded_products(l_range, 0, c, E)
+            diag_classes.append((pa, pb, E))
+        off_classes = []
+        for c, E in zip(present_o, Eo):
+            if E == 0:
+                continue
+            pa, pb, colb = padded_products(l_range, 1, c, E)
+            dloc = dpos_of_col[colb].astype(np.int32)
+            off_classes.append((pa, pb, dloc, E))
+        buckets.append(FactorBucket(
+            S=S, offsets=offsets.astype(np.int32),
+            diag_classes=diag_classes, off_classes=off_classes))
+    return buckets, v_perm, v_phys_size
 
 
 def _build_v_product_triples(colptr, v_rows, n_lat, rev_offset, slot_lookup,
@@ -394,8 +481,25 @@ def _build_v_product_triples(colptr, v_rows, n_lat, rev_offset, slot_lookup,
     return (np.concatenate(tg_l), np.concatenate(pa_l), np.concatenate(pb_l))
 
 
-def _build_fwd_blocks(colptr, v_rows, n_lat):
-    """Row-structure forward-solve schedule, bucketed by level."""
+def _x_layout(groups, bounds):
+    """Physical x layout for a solve direction: per-bucket padded levels."""
+    n = sum(g.size for g in groups)
+    x_perm = np.empty(n, dtype=np.int64)
+    offsets_all = []
+    pos = 0
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        L = max(groups[i].size for i in range(s, e))
+        offs = pos + np.arange(e - s, dtype=np.int64) * L
+        for li in range(s, e):
+            g = groups[li]
+            x_perm[g] = offs[li - s] + np.arange(g.size)
+        offsets_all.append(offs)
+        pos += (e - s) * L
+    return x_perm, offsets_all, pos
+
+
+def _build_fwd_blocks(colptr, v_rows, n_lat, v_perm):
+    """Row-structure forward-solve schedule, physical layouts, no scatters."""
     lev = _solve_levels(colptr, v_rows, n_lat, "fwd")
     row_ptr, slot_by_row, col_by_row = _csc_transpose_pattern(
         colptr, v_rows, n_lat)
@@ -413,8 +517,12 @@ def _build_fwd_blocks(colptr, v_rows, n_lat):
               _ceil_pow2(max(int(rcnt[g].max()) if g.size else 0, 1)))
             for g in groups]
     bounds = _bucket_by_keys(keys)
+    x_perm, offsets_all, x_size = _x_layout(groups, bounds)
+    slot_phys = v_perm[slot_by_row] if slot_by_row.size else slot_by_row
+    colx_phys = x_perm[col_by_row] if col_by_row.size else col_by_row
+
     blocks = []
-    for s, e in zip(bounds[:-1], bounds[1:]):
+    for bi, (s, e) in enumerate(zip(bounds[:-1], bounds[1:])):
         nlev = e - s
         L = max(groups[i].size for i in range(s, e))
         R = max(int(rcnt[groups[i]].max()) if groups[i].size else 0
@@ -424,38 +532,44 @@ def _build_fwd_blocks(colptr, v_rows, n_lat):
             cols[li - s, :groups[li].size] = groups[li]
         okc = cols >= 0
         cc = np.where(okc, cols, 0)
-        diag_slots = np.where(okc, colptr[cc], -1)
+        diag_slots = np.where(okc, v_perm[colptr[cc]], -1)
         if R > 0:
             ar = np.arange(R)
             okr = (ar[None, None, :] < rcnt[cc][..., None]) & okc[..., None]
             idx = roff[cc][..., None] + ar
-            idx_c = np.minimum(idx, max(slot_by_row.size - 1, 0))
-            row_slots = np.where(okr, slot_by_row[idx_c]
-                                 if slot_by_row.size else -1, -1)
-            row_cols = np.where(okr, col_by_row[idx_c]
-                                if col_by_row.size else -1, -1)
+            idx_c = np.minimum(idx, max(slot_phys.size - 1, 0))
+            row_slots = np.where(okr, slot_phys[idx_c]
+                                 if slot_phys.size else -1, -1)
+            row_cols = np.where(okr, colx_phys[idx_c]
+                                if colx_phys.size else -1, -1)
         else:
             row_slots = np.empty((nlev, L, 0), dtype=np.int64)
             row_cols = row_slots
         blocks.append(FwdBlock(cols=cols.astype(np.int32),
                                diag_slots=diag_slots.astype(np.int32),
                                row_slots=row_slots.astype(np.int32),
-                               row_cols=row_cols.astype(np.int32)))
-    return blocks
+                               row_cols=row_cols.astype(np.int32),
+                               offsets=offsets_all[bi].astype(np.int32)))
+    return blocks, x_perm, x_size
 
 
-def _build_bwd_blocks(colptr, v_rows, n_lat):
-    """Column-structure backward-solve schedule, bucketed by level."""
+def _build_bwd_blocks(colptr, v_rows, n_lat, v_perm):
+    """Column-structure backward-solve schedule, physical layouts."""
     lev = _solve_levels(colptr, v_rows, n_lat, "bwd")
     widths = np.diff(colptr)
-    rows_pad = np.concatenate([v_rows, [-1]])
     groups = _level_groups(lev)
     keys = [(_ceil_pow2(g.size),
              _ceil_pow2(max(int(widths[g].max()) if g.size else 0, 1)))
             for g in groups]
     bounds = _bucket_by_keys(keys)
+    x_perm, offsets_all, x_size = _x_layout(groups, bounds)
+    rows_x = np.concatenate([x_perm[v_rows], [-1]]) if v_rows.size else \
+        np.asarray([-1], dtype=np.int64)
+    slots_phys = np.concatenate([v_perm, [-1]]) if v_rows.size else \
+        np.asarray([-1], dtype=np.int64)
+
     blocks = []
-    for s, e in zip(bounds[:-1], bounds[1:]):
+    for bi, (s, e) in enumerate(zip(bounds[:-1], bounds[1:])):
         nlev = e - s
         L = max(groups[i].size for i in range(s, e))
         F = max(int(widths[groups[i]].max()) for i in range(s, e))
@@ -466,13 +580,14 @@ def _build_bwd_blocks(colptr, v_rows, n_lat):
         cc = np.where(okc, cols, 0)
         ar = np.arange(F)
         okf = (ar[None, None, :] < widths[cc][..., None]) & okc[..., None]
-        slots = np.where(okf, colptr[cc][..., None] + ar, -1)
-        rws = np.where(slots >= 0,
-                       rows_pad[np.minimum(slots, v_rows.size)], -1)
+        lslots = np.where(okf, colptr[cc][..., None] + ar, v_rows.size)
+        slots = np.where(okf, slots_phys[lslots], -1)
+        rws = np.where(okf, rows_x[lslots], -1)
         blocks.append(SolveBlock(cols=cols.astype(np.int32),
                                  slots=slots.astype(np.int32),
-                                 rows=rws.astype(np.int32)))
-    return blocks
+                                 rows=rws.astype(np.int32),
+                                 offsets=offsets_all[bi].astype(np.int32)))
+    return blocks, x_perm, x_size
 
 
 # --------------------------------------------------------------------------
@@ -602,15 +717,11 @@ def build_likelihood_plan(spec, dtype=np.float32) -> LikelihoodPlan:
     plan.v_nnz = int(v_rows.size)
     plan.v_colptr = colptr
     plan.v_rows = v_rows.astype(np.int32)
-    plan.v_diag_slots = colptr[:-1].astype(np.int32)
     assert np.array_equal(v_rows[colptr[:-1]], np.arange(n_lat)), \
         "diag must lead each V column"
 
-    plan.dir_slots = (colptr[np.repeat(np.arange(rev_offset), dwidths)]
-                      + (np.arange(dir_rows_flat.size)
-                         - np.repeat(colptr[:rev_offset], dwidths))
-                      ).astype(np.int32) if rev_offset > 0 else \
-        np.empty(0, np.int32)
+    # direct entries occupy physical [0, n_dir) in logical (col-major) order
+    plan.n_dir = int(dir_rows_flat.size)
     plan.dir_pt = dir_pt.astype(np.int32)
     plan.dir_nn = dir_nn.astype(np.int32)
 
@@ -625,8 +736,20 @@ def build_likelihood_plan(spec, dtype=np.float32) -> LikelihoodPlan:
         ok = vkeys[pos_c] == q if vkeys.size else np.zeros(q.shape, bool)
         return np.where(ok, pos_c, -1)
 
+    # ---- V-product schedule + factor buckets + physical V layout ----
+    if n_A > 0:
+        tgt_v, pa_v, pb_v = _build_v_product_triples(
+            colptr, v_rows, n_lat, rev_offset, slot_lookup, spec.ic0)
+    else:
+        tgt_v = pa_v = pb_v = np.empty(0, np.int64)
+    plan.factor_buckets, v_perm, plan.v_phys_size = _build_factor_buckets(
+        colptr, v_rows, n_lat, rev_offset, n_A, tgt_v, pa_v, pb_v)
+    plan.v_perm = v_perm.astype(np.int64)
+    plan.v_diag_slots = v_perm[colptr[:-1]].astype(np.int32)
+
     if n_A > 0:
         # ---- W assembly schedule: out[t] = sum U[p,a]*U[p,b] (+ D diag) ----
+        # targets in the PHYSICAL layout (feeds the factor body directly)
         off_d = n_all * mp1                   # 1/nugget values
         off_one = off_d + n_obs               # literal 1.0
         tg_l, pa_l, pb_l = [], [], []
@@ -643,25 +766,19 @@ def build_likelihood_plan(spec, dtype=np.float32) -> LikelihoodPlan:
             base = (p[:, None] * mp1)
             pa = base + iu[None, :]
             pb = base + ju[None, :]
-            tg_l.append(tgt[ok])
+            tg_l.append(v_perm[tgt[ok]])
             pa_l.append(np.broadcast_to(pa, ok.shape)[ok])
             pb_l.append(np.broadcast_to(pb, ok.shape)[ok])
         # D diagonal: latent points with observations add 1/nugget
         dpts = np.flatnonzero(has_lat & has_obs & (latent_rank < n_A))
         if dpts.size:
             drev = n_lat - 1 - latent_rank[dpts]
-            tg_l.append(colptr[drev])
+            tg_l.append(v_perm[colptr[drev]])
             pa_l.append(off_d + obs_pos[dpts])
             pb_l.append(np.full(dpts.size, off_one, dtype=np.int64))
         plan.w_schedule = _build_pair_sum(
             np.concatenate(tg_l), np.concatenate(pa_l), np.concatenate(pb_l),
-            plan.v_nnz)
-
-        # ---- V-product schedule + factor buckets ----
-        tgt_v, pa_v, pb_v = _build_v_product_triples(
-            colptr, v_rows, n_lat, rev_offset, slot_lookup, spec.ic0)
-        plan.factor_buckets = _build_factor_buckets(
-            colptr, v_rows, n_lat, rev_offset, n_A, tgt_v, pa_v, pb_v)
+            plan.v_phys_size)
 
     # ---- z2 schedule: z2[r] = sum col[p,a]*z1L[p] - z1Z[o]/sqrt(nug)@own ----
     off_one_z = n_all * mp1
@@ -679,8 +796,10 @@ def build_likelihood_plan(spec, dtype=np.float32) -> LikelihoodPlan:
     plan.z2_schedule = _build_pair_sum(tgt_z, pa_z, pb_z, n_lat)
 
     # ---- solve schedules ----
-    plan.fwd_blocks = _build_fwd_blocks(colptr, v_rows, n_lat)
-    plan.bwd_blocks = _build_bwd_blocks(colptr, v_rows, n_lat)
+    plan.fwd_blocks, plan.fwd_x_perm, plan.fwd_x_size = _build_fwd_blocks(
+        colptr, v_rows, n_lat, v_perm)
+    plan.bwd_blocks, plan.bwd_x_perm, plan.bwd_x_size = _build_bwd_blocks(
+        colptr, v_rows, n_lat, v_perm)
 
     return plan
 
