@@ -33,6 +33,23 @@ def modeled_reference_seconds(n, m, w_nnz):
     return part_a + part_b
 
 
+def unfilled_w_nnz(plan):
+    """nnz of the lower triangle of W = U_y U_y^T (pre-fill), for the cost
+    model of the reference's sequential sparse Cholesky (an underestimate of
+    its work, which also carries fill — deliberately conservative)."""
+    import numpy as np
+    NN = plan.NN.astype(np.int64)
+    lr = plan.latent_rank.astype(np.int64)
+    verts = np.where(plan.cond, lr[NN], -1)
+    mp1 = verts.shape[1]
+    iu, ju = np.triu_indices(mp1)
+    a = verts[:, iu].ravel()
+    b = verts[:, ju].ravel()
+    ok = (a >= 0) & (b >= 0)
+    keys = np.maximum(a[ok], b[ok]) * plan.n_lat + np.minimum(a[ok], b[ok])
+    return int(np.unique(keys).size)
+
+
 def main():
     n = int(os.environ.get("BENCH_N", 100_000))
     m = int(os.environ.get("BENCH_M", 20))
@@ -58,10 +75,10 @@ def main():
     spec = vecchia_specify(locs, m=m, cond_yz=cond)
     t1 = time.time()
     plan = get_plan(spec, dtype)
+    w_nnz = unfilled_w_nnz(plan)
     t2 = time.time()
     print(f"[bench] spec {t1 - t0:.1f}s plan {t2 - t1:.1f}s "
-          f"v_nnz={plan.v_nnz} "
-          f"fwd_levels={len(plan.fwd_blocks)}", file=sys.stderr)
+          f"w_nnz={w_nnz} use_mf={plan.use_mf}", file=sys.stderr)
 
     fn = loglik_fn(spec, "matern", dtype=dtype)
     z = jnp.asarray(rng.normal(size=n), dtype)
@@ -80,14 +97,23 @@ def main():
               for k in range(n_evals)]
     for p in params[:2]:
         fn(z, p, nuggets).block_until_ready()
-    t5 = time.time()
-    vals = [fn(z, p, nuggets) for p in params]
-    jax.block_until_ready(vals)
-    t6 = time.time()
-    per_eval = (t6 - t5) / n_evals
+    # synchronous per-eval with value readback (the MLE inner loop is
+    # sequential and consumes the value; on this runtime queued/pipelined
+    # dispatch is also ~3x slower per eval than serial sync, so this is both
+    # the honest and the faster pattern)
+    lats = []
+    for p in params:
+        t0 = time.time()
+        float(fn(z, p, nuggets))
+        lats.append(time.time() - t0)
+    lat_med = sorted(lats)[len(lats) // 2]
+    print(f"[bench] sync latencies ms: "
+          f"{' '.join(f'{t * 1e3:.1f}' for t in sorted(lats)[:8])} ... "
+          f"max {max(lats) * 1e3:.1f}", file=sys.stderr)
+    per_eval = lat_med
     evals_per_sec = 1.0 / per_eval
 
-    ref_sec = modeled_reference_seconds(n, m, plan.v_nnz)
+    ref_sec = modeled_reference_seconds(n, m, w_nnz)
     vs_baseline = ref_sec / per_eval
     print(f"[bench] per-eval {per_eval * 1000:.2f} ms; modeled reference "
           f"{ref_sec * 1000:.1f} ms; total bench {time.time() - t_start:.0f}s",

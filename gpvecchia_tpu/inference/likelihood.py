@@ -17,9 +17,10 @@ import numpy as np
 
 from ..kernels.covariance import make_kernel_fn
 from ..kernels.u_entries import u_entries
+from ..linalg.multifrontal import mf_device_arrays, mf_factor
 from ..linalg.sparse import gather, gather0, pair_sum
+from ..plan import ensure_v, get_mf_plan, get_plan
 from ..linalg.trisolve import forward_solve
-from ..plan import get_plan
 
 __all__ = ["vecchia_likelihood", "loglik_fn", "loglik_core",
            "compute_v_factor"]
@@ -46,9 +47,37 @@ def _device_arrays(plan):
         "obs_points": jnp.asarray(plan.obs_points),
         "ord_z": jnp.asarray(plan.ord_z),
         "has_lat": jnp.asarray(plan.has_latent_pts),
+        "has_col": jnp.asarray(plan.has_latent_pts | plan.known_pts),
+        "zero_obs": jnp.asarray(plan.zero_obs),
         "latent_rank": jnp.asarray(plan.latent_rank),
         "obs_pos": jnp.asarray(plan.obs_pos),
     }
+    # parameter-free packed pair distances (one-time device compute)
+    from ..kernels.u_entries import packed_pair_dist
+    dev["pdist"] = jax.jit(packed_pair_dist)(dev["locs"], dev["NN"])
+    if plan.n_lat == 0:
+        # fully-known degenerate case: no factor machinery at all
+        plan.compiled["dev"] = dev
+        return dev
+    if plan.use_mf:
+        # multifrontal factor path: no per-entry V machinery on device
+        mfp, vert_obs = get_mf_plan(plan)
+        static, arrays = mf_device_arrays(mfp)
+        plan.compiled["mf_static"] = static
+        dev["mf"] = arrays
+        dev["vert_obs"] = jnp.asarray(vert_obs)
+        dev["vert_pt"] = jnp.asarray(
+            np.flatnonzero(plan.has_latent_pts).astype(np.int32))
+        if plan.known_pts.any():
+            kp = np.flatnonzero(plan.known_pts)
+            dev["known_pt"] = jnp.asarray(kp.astype(np.int32))
+            dev["known_obs"] = jnp.asarray(
+                plan.obs_pos[kp].astype(np.int32))
+        plan.compiled["dev"] = dev
+        return dev
+
+    ensure_v(plan)
+
     def sched(s):
         return ([(jnp.asarray(b.pa), jnp.asarray(b.pb)) for b in s.buckets],
                 jnp.asarray(s.gather_map)) if s is not None else ([], None)
@@ -111,7 +140,6 @@ def compute_v_factor(plan, dev, col, nug_ord, dt):
     ucat = jnp.concatenate([col.ravel(), 1.0 / nug_ord, jnp.ones(1, dt)])
     w_phys = pair_sum(ucat, ucat, dev["w_sched"], dt)
 
-    tiny = jnp.asarray(1e-30, dt)
     v = jnp.concatenate([v_dir,
                          jnp.zeros(plan.v_phys_size - plan.n_dir, dt)])
 
@@ -133,7 +161,10 @@ def compute_v_factor(plan, dev, col, nug_ord, dt):
                 dparts.append(w0)
                 pos += E
             draw = jnp.concatenate(dparts) if len(dparts) > 1 else dparts[0]
-            dinv = jax.lax.rsqrt(jnp.maximum(draw, tiny))
+            # no clamping: a non-SPD pivot must surface as NaN rather than
+            # silently corrupt the factor (/root/reference/src/ic0.cpp:53-58
+            # likewise divides by whatever the pivot is)
+            dinv = jax.lax.rsqrt(draw)
             parts = [draw * dinv]                     # sqrt of the diagonals
             for pa, pb, dloc in ocls:
                 E, C = pa.shape[-2], pa.shape[-1]
@@ -152,6 +183,28 @@ def compute_v_factor(plan, dev, col, nug_ord, dt):
         else:
             v, _ = jax.lax.scan(body, v, xs)
     return v
+
+
+def _mf_denominator(plan, dev, col, z1L, zord, nug_ord, dt, rhs=True):
+    """Multifrontal factor of W (+ optional forward solve of z2).
+
+    Elements are the latent-conditioned entries of each U column; the D
+    diagonal adds 1/nugget at observed vertices, and the z2 RHS adds
+    -zord/nugget there (the observation column contribution).
+    """
+    static = plan.compiled["mf_static"]
+    vo = dev["vert_obs"]
+    obs_v = vo >= 0
+    voc = jnp.clip(vo, 0)
+    dvec = jnp.where(obs_v, 1.0 / gather(nug_ord, voc), 0.0)
+    u_elem = jnp.where(dev["cond"], col, 0.0)
+    kw = {}
+    if rhs:
+        kw = dict(rhs_elem=z1L,
+                  rhs_vert=jnp.where(obs_v,
+                                     -gather(zord, voc) / gather(nug_ord, voc),
+                                     0.0))
+    return mf_factor(static, dev["mf"], u_elem, dvec, dtype=dt, **kw)
 
 
 def _dispatch_covmodel(spec, covmodel, dtype):
@@ -197,39 +250,95 @@ def _loglik_core(plan, kernel_fn, covmat, dev, z, covparms, nuggets, sel=None):
 
     nug_ord, nug_point = _nugget_vectors(plan, dev, nuggets, dt)
     col = u_entries(dev["locs"], dev["NN"], dev["valid"], dev["cond"],
-                    nug_point, kernel_fn, covparms, covmat=covmat, sel=sel)
+                    nug_point, kernel_fn, covparms, covmat=covmat, sel=sel,
+                    pdist=dev.get("pdist"))
 
     zord = gather(z, dev["ord_z"])
 
-    # z1 over U columns: latent cols gather response-conditioned neighbors
+    # z1 over U columns: regression columns gather the values of their
+    # known-conditioned neighbors (response-conditioned, or exact/zero-nugget
+    # latents, whose own value IS the observation)
+    zero_obs = dev["zero_obs"]
+    nug_safe = jnp.where(zero_obs, 1.0, nug_ord)
     znb = zord[dev["nb_obs_pos"]]
     z1L = jnp.sum(jnp.where(dev["nb_resp"], col * znb, 0.0), axis=1)
-    z1L = jnp.where(dev["has_lat"], z1L, 0.0)
-    z1Z = zord / jnp.sqrt(nug_ord)
+    z1L = jnp.where(dev["has_col"], z1L, 0.0)
+    z1Z = jnp.where(zero_obs, 0.0, zord / jnp.sqrt(nug_safe))
 
     quad_num = jnp.sum(z1L * z1L) + jnp.sum(z1Z * z1Z)
-    lat_mask = dev["has_lat"]
-    logdet_num = (-2.0 * jnp.sum(jnp.where(lat_mask, jnp.log(jnp.where(
-        lat_mask, col[:, 0], 1.0)), 0.0)) + jnp.sum(jnp.log(nug_ord)))
+    col_mask = dev["has_col"]
+    logdet_num = (-2.0 * jnp.sum(jnp.where(col_mask, jnp.log(jnp.where(
+        col_mask, col[:, 0], 1.0)), 0.0))
+        + jnp.sum(jnp.where(zero_obs, 0.0, jnp.log(nug_safe))))
 
-    n_lat = plan.n_lat
-    # z2 = U_y z1 over latent rows, as a gather-based pair reduction:
-    # z2[r] = sum col[p,a]*z1L[p] over in-edges, minus z1Z/sqrt(nug) at the
-    # point's own latent row (schedule built in plan.py)
-    ucat_z = jnp.concatenate([col.ravel(), jnp.ones(1, dt)])
-    zcat = jnp.concatenate([z1L, -z1Z / jnp.sqrt(nug_ord)])
-    z2 = pair_sum(ucat_z, zcat, dev["z2_sched"], dt)
+    if plan.n_lat == 0:
+        # all observations exact (every latent known): no denominator
+        quad_denom = jnp.zeros((), dt)
+        logdet_denom = jnp.zeros((), dt)
+    elif plan.use_mf:
+        # denominator through the multifrontal factor of W = U_y U_y^T + D:
+        # quad = z2^T W^{-1} z2 with z2 = U_y z1 assembled per-leaf inside
+        # the tree (rhs_elem = z1L weights, rhs_vert = -zord/nugget at each
+        # observed vertex), logdet(W) from the factor diagonals
+        fac = _mf_denominator(plan, dev, col, z1L, zord, nug_ord, dt)
+        quad_denom = fac["quad"]
+        logdet_denom = -fac["logdet"]
+    else:
+        # z2 = U_y z1 over latent rows, as a gather-based pair reduction:
+        # z2[r] = sum col[p,a]*z1L[p] over in-edges, minus z1Z/sqrt(nug) at
+        # the point's own latent row (schedule built in plan.py)
+        ucat_z = jnp.concatenate([col.ravel(), jnp.ones(1, dt)])
+        zcat = jnp.concatenate([z1L, -z1Z / jnp.sqrt(nug_ord)])
+        z2 = pair_sum(ucat_z, zcat, dev["z2_sched"], dt)
 
-    # denominator through V
-    v_flat = compute_v_factor(plan, dev, col, nug_ord, dt)
-    z2rev = z2[::-1]
-    z3 = forward_solve(v_flat, z2rev, dev["fwd"], x_size=plan.fwd_x_size)
-    quad_denom = jnp.sum(z3 * z3)
-    logdet_denom = -2.0 * jnp.sum(jnp.log(gather(v_flat, dev["v_diag_slots"])))
+        # denominator through V
+        v_flat = compute_v_factor(plan, dev, col, nug_ord, dt)
+        z2rev = z2[::-1]
+        z3 = forward_solve(v_flat, z2rev, dev["fwd"], x_size=plan.fwd_x_size)
+        quad_denom = jnp.sum(z3 * z3)
+        logdet_denom = -2.0 * jnp.sum(
+            jnp.log(gather(v_flat, dev["v_diag_slots"])))
 
     const = plan.n_obs * math.log(2.0 * math.pi)
     neg2 = logdet_num - logdet_denom + quad_num - quad_denom + const
     return -0.5 * neg2
+
+
+def zero_nugget_variant(spec, nuggets):
+    """Derived spec handling exact (zero-nugget) observations, if any.
+
+    Mirrors /root/reference/R/createU.R:83-86 (force latent conditioning on
+    zero-nugget neighbors — here equivalently response conditioning with a
+    zero diagonal add, since the response IS the latent) and :173-193 (the
+    z-row of a zero-nugget point is deleted and its y-row reclassified as an
+    observation-type row — here a 'known' column with no free latent).
+    Returns `spec` unchanged when no nugget is zero.
+    """
+    zero = np.asarray(nuggets) == 0.0
+    if not zero.any():
+        return spec
+    key = ("zero_variant", zero.tobytes())
+
+    def build():
+        if spec.cond_yz in ("zy", "RVP", "LK") or spec.ic0 or (
+                spec.n_pred > 0 and spec.ordering_pred == "obspred"):
+            raise NotImplementedError(
+                "zero nuggets are supported on the general ('chol') path; "
+                "not with the zy family, ic0, or obspred prediction ordering")
+        obs_pos = spec.obs_pos
+        zero_by_pos = zero[spec.ord_z]
+        is_zero = spec.has_obs & np.where(
+            obs_pos >= 0, zero_by_pos[np.maximum(obs_pos, 0)], False)
+        NN = spec.NNarray
+        valid = NN >= 0
+        zero_nb = np.where(valid, is_zero[np.maximum(NN, 0)], False)
+        import dataclasses
+        return dataclasses.replace(
+            spec, cond_latent=spec.cond_latent & ~zero_nb,
+            has_latent=spec.has_latent & ~is_zero,
+            known_pts=is_zero, _cache={})
+
+    return spec.cached(key, build)
 
 
 def loglik_core(spec, covmodel="matern", dtype=None):
@@ -281,8 +390,9 @@ def vecchia_likelihood(z, spec, covparms, nuggets, covmodel="matern"):
         import warnings
         warnings.warn("cond.yz='zy' will produce a poor likelihood "
                       "approximation. Use 'SGV' instead.")
-    fn = loglik_fn(spec, covmodel)
     nuggets = np.broadcast_to(np.asarray(nuggets, dtype=np.float64),
                               (spec.n_obs,))
+    spec = zero_nugget_variant(spec, nuggets)
+    fn = loglik_fn(spec, covmodel)
     return float(fn(np.asarray(z, np.float64), np.asarray(covparms, np.float64),
                     nuggets))

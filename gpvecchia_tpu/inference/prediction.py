@@ -16,12 +16,13 @@ import numpy as np
 
 from ..kernels.covariance import make_kernel_fn
 from ..kernels.u_entries import u_entries
+from ..linalg.multifrontal import mf_backward, mf_forward, mf_selinv_diag
 from ..linalg.selinv import build_selinv_levels, selected_inverse
 from ..linalg.sparse import pair_sum
 from ..linalg.trisolve import backward_solve, forward_solve
-from ..plan import get_plan
-from .likelihood import (_device_arrays, _dispatch_covmodel, _nugget_vectors,
-                         compute_v_factor)
+from ..plan import ensure_v, get_plan
+from .likelihood import (_device_arrays, _dispatch_covmodel, _mf_denominator,
+                         _nugget_vectors, compute_v_factor)
 
 __all__ = ["vecchia_prediction", "vecchia_lincomb", "V2covmat"]
 
@@ -36,16 +37,32 @@ def _posterior_core(plan, kernel_fn, covmat, dev, z, covparms, nuggets,
 
     nug_ord, nug_point = _nugget_vectors(plan, dev, nuggets, dt)
     col = u_entries(dev["locs"], dev["NN"], dev["valid"], dev["cond"],
-                    nug_point, kernel_fn, covparms, covmat=covmat, sel=sel)
+                    nug_point, kernel_fn, covparms, covmat=covmat, sel=sel,
+                    pdist=dev.get("pdist"))
     from ..linalg.sparse import gather
     zord = gather(z, dev["ord_z"])
 
     znb = zord[dev["nb_obs_pos"]]
     z1L = jnp.sum(jnp.where(dev["nb_resp"], col * znb, 0.0), axis=1)
-    z1L = jnp.where(dev["has_lat"], z1L, 0.0)
+    z1L = jnp.where(dev["has_col"], z1L, 0.0)
     z1Z = zord / jnp.sqrt(nug_ord)
 
-    n_lat = plan.n_lat
+    if plan.use_mf:
+        # mean = -W^{-1} z2 through the multifrontal factor (the ordering of
+        # the factorization is free; the solution vector is not)
+        fac = _mf_denominator(plan, dev, col, z1L, zord, nug_ord, dt)
+        mu_lat = -mf_backward(plan.compiled["mf_static"], dev["mf"], fac)
+        if "known_pt" in dev:
+            # exact (zero-nugget) observations: posterior mean is the datum
+            mu_ord = jnp.zeros(plan.n_all, dt).at[dev["vert_pt"]].set(mu_lat)
+            mu_ord = mu_ord.at[dev["known_pt"]].set(
+                zord[dev["known_obs"]])
+            return mu_ord, fac, col, nug_ord
+        # vertices are latent ranks; in 'chol' mode without exact
+        # observations every ordered point is latent, so rank order ==
+        # ordered sequence
+        return mu_lat, fac, col, nug_ord
+
     ucat_z = jnp.concatenate([col.ravel(), jnp.ones(1, dt)])
     zcat = jnp.concatenate([z1L, -z1Z / jnp.sqrt(nug_ord)])
     z2 = pair_sum(ucat_z, zcat, dev["z2_sched"], dt)
@@ -78,16 +95,31 @@ def _pred_fns(spec, covmodel, dtype=None):
     def mean_fn(z, covparms, nuggets):
         return _mean_fn(dev, z, covparms, nuggets)
 
-    selinv_levels = plan.compiled.get("selinv_levels")
-    if selinv_levels is None:
-        selinv_levels = build_selinv_levels(plan)
-        plan.compiled["selinv_levels"] = selinv_levels
+    if plan.use_mf:
+        static = plan.compiled["mf_static"]
 
-    @jax.jit
-    def var_fn(v_flat):
-        z_flat = selected_inverse(v_flat, selinv_levels, plan.v_phys_size)
-        diag_rev = z_flat[jnp.asarray(plan.v_diag_slots)]
-        return diag_rev[::-1]    # variances over latent vars, ordered sequence
+        @jax.jit
+        def _var_fn(dev, fac):
+            d = mf_selinv_diag(static, dev["mf"], fac)
+            if "known_pt" in dev:
+                # exact observations have zero posterior variance
+                full = jnp.zeros(plan.n_all, d.dtype).at[dev["vert_pt"]].set(d)
+                return full
+            return d
+
+        def var_fn(fac):
+            return _var_fn(dev, fac)
+    else:
+        selinv_levels = plan.compiled.get("selinv_levels")
+        if selinv_levels is None:
+            selinv_levels = build_selinv_levels(plan)
+            plan.compiled["selinv_levels"] = selinv_levels
+
+        @jax.jit
+        def var_fn(v_flat):
+            z_flat = selected_inverse(v_flat, selinv_levels, plan.v_phys_size)
+            diag_rev = z_flat[jnp.asarray(plan.v_diag_slots)]
+            return diag_rev[::-1]   # variances over latent vars, ordered seq
 
     fns = (mean_fn, var_fn)
     plan.compiled[key] = fns
@@ -110,8 +142,10 @@ def vecchia_prediction(z, spec, covparms, nuggets, var_exact=None,
     Mirrors /root/reference/R/vecchia_prediction.R:17-56.  Returns a dict
     with mu_obs, mu_pred and (for 'meanvar'/'all') var_obs, var_pred.
     """
-    (mean_fn, var_fn), plan = _pred_fns(spec, covmodel)
     nuggets = np.broadcast_to(np.asarray(nuggets, np.float64), (spec.n_obs,))
+    from .likelihood import zero_nugget_variant
+    spec = zero_nugget_variant(spec, np.nan_to_num(nuggets, nan=1.0))
+    (mean_fn, var_fn), plan = _pred_fns(spec, covmodel)
     z = np.asarray(z, np.float64)
     # NA handling: mean-fill with inflated nuggets (R/vecchia_likelihood.R:45-58)
     if np.any(np.isnan(z)):
@@ -126,7 +160,7 @@ def vecchia_prediction(z, spec, covparms, nuggets, var_exact=None,
     out = {"mu_obs": mu_obs, "mu_pred": mu_pred,
            "var_obs": None, "var_pred": None, "V": None}
     if return_values in ("meanmat", "all"):
-        out["V"] = np.asarray(v_flat)
+        out["V"] = v_flat if isinstance(v_flat, dict) else np.asarray(v_flat)
         out["_plan"] = plan
 
     if return_values in ("meanvar", "all"):
@@ -177,7 +211,25 @@ def vecchia_lincomb(H, spec, v_flat, cov_mat=False):
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     plan = get_plan(spec, dtype)
     H = np.asarray(H.todense()) if hasattr(H, "todense") else np.asarray(H)
+    if isinstance(v_flat, dict):
+        # multifrontal factor: ||L^{-1} h||^2 = h^T W^{-1} h is invariant to
+        # the factor's ordering, and cross inner products likewise
+        from .likelihood import _device_arrays as _da
+        dev = _da(plan)
+        static = plan.compiled["mf_static"]
+        Hv = H[:, spec.ord]                 # columns -> latent rank order
+
+        def one(h):
+            ys, _ = mf_forward(static, dev["mf"], v_flat, jnp.asarray(h))
+            return jnp.concatenate([y.reshape(-1) for y in ys])
+
+        temp = jax.vmap(one)(jnp.asarray(Hv, dtype))
+        if cov_mat:
+            return np.asarray(temp @ temp.T)
+        return np.asarray(jnp.sum(temp * temp, axis=1))
+
     # columns to reversed latent order: rev of ordered sequence
+    ensure_v(plan)
     Ht = H[:, spec.ord[::-1]]          # (k, n_lat)
     v_flat = jnp.asarray(v_flat)
 
@@ -198,6 +250,21 @@ def V2covmat(spec, v_flat):
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     plan = get_plan(spec, dtype)
     n = plan.n_lat
+    if isinstance(v_flat, dict):
+        # multifrontal factor: Sigma = W^{-1} by batched column solves
+        from ..linalg.multifrontal import mf_solve
+        from .likelihood import _device_arrays as _da
+        dev = _da(plan)
+        static = plan.compiled["mf_static"]
+        eye = jnp.eye(n, dtype=dtype)
+        cols = jax.vmap(lambda c: mf_solve(static, dev["mf"], v_flat, c))(eye)
+        Sigma_ord = np.asarray(cols).T
+        out = np.empty((spec.ord.size, spec.ord.size))
+        out[np.ix_(spec.ord, spec.ord)] = Sigma_ord
+        n_obs = spec.n_obs
+        return {"Sigma_obs": out[:n_obs, :n_obs],
+                "Sigma_pred": out[n_obs:, n_obs:]}
+    ensure_v(plan)
     V = np.zeros((n, n))
     cp = plan.v_colptr
     vf = np.asarray(v_flat)[plan.v_perm]     # physical -> logical col-major

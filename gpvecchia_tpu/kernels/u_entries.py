@@ -29,7 +29,8 @@ import jax.numpy as jnp
 
 from .covariance import _safe_dist
 
-__all__ = ["u_entries", "build_cov_packed", "crout_solve_e0"]
+__all__ = ["u_entries", "build_cov_packed", "crout_solve_e0",
+           "packed_pair_dist"]
 
 _CROUT_BLOCK = 8
 
@@ -42,8 +43,24 @@ def _packed_index(mp1):
     return iu, ju, pk
 
 
+def packed_pair_dist(locs, NN):
+    """Parameter-free packed pairwise distances (n, P) for the U kernel.
+
+    Computed ONCE per spec and cached on the device arrays: the locs[NN]
+    gather of d-wide rows is the single most expensive op of the whole
+    likelihood on TPU (measured 444 ms of a 549 ms eval at n=1e5, m=20 —
+    2-element-row gathers serialize), while the distances themselves never
+    change across parameter evaluations.
+    """
+    mp1 = NN.shape[1]
+    iu, ju, _ = _packed_index(mp1)
+    pts = locs[NN]                           # (n, m+1, d)
+    diff = pts[:, iu, :] - pts[:, ju, :]
+    return _safe_dist(jnp.sum(diff * diff, axis=-1))       # (n, P)
+
+
 def build_cov_packed(locs, NN, valid, cond, nug_point, kernel_fn, covparms,
-                     covmat=None, sel=None):
+                     covmat=None, sel=None, pdist=None):
     """Packed upper-triangle covariance blocks, batch-last: (P, n).
 
     P = (m+1)(m+2)/2 positions (iu, ju) of the conditioning-set covariance;
@@ -55,6 +72,8 @@ def build_cov_packed(locs, NN, valid, cond, nug_point, kernel_fn, covparms,
     /root/reference/src/U_NZentries.cpp:126-197).
     sel: optional (flat_selected_values, (n, m+1, m+1) pair_slots) for
     hierarchical conditioning (reference createUcppM, R/createU.R:89-139).
+    pdist: optional precomputed packed distances from packed_pair_dist
+    (skips the locs[NN] gather in the hot path).
     """
     mp1 = NN.shape[1]
     iu, ju, _ = _packed_index(mp1)
@@ -65,9 +84,7 @@ def build_cov_packed(locs, NN, valid, cond, nug_point, kernel_fn, covparms,
     elif covmat is not None:
         Cp = covmat[NN[:, iu], NN[:, ju]]
     else:
-        pts = locs[NN]                       # (n, m+1, d)
-        diff = pts[:, iu, :] - pts[:, ju, :]
-        dist = _safe_dist(jnp.sum(diff * diff, axis=-1))   # (n, P)
+        dist = pdist if pdist is not None else packed_pair_dist(locs, NN)
         Cp = kernel_fn(dist, covparms)
     # response-conditioned neighbors contribute their nugget on the diagonal;
     # the packed diagonal slots are exactly the positions with iu == ju, so
@@ -158,11 +175,11 @@ def _use_crout():
 
 
 def u_entries(locs, NN, valid, cond, nug_point, kernel_fn, covparms,
-              covmat=None, sel=None):
+              covmat=None, sel=None, pdist=None):
     """U-column coefficients (n, m+1), aligned with NNarray (self first)."""
     mp1 = NN.shape[1]
     Cp = build_cov_packed(locs, NN, valid, cond, nug_point, kernel_fn,
-                          covparms, covmat, sel)
+                          covparms, covmat, sel, pdist=pdist)
     if _use_crout():
         x = crout_solve_e0(Cp, mp1)              # (m+1, n)
         col = (x * jax.lax.rsqrt(x[:1])).T       # (n, m+1)
@@ -175,4 +192,19 @@ def u_entries(locs, NN, valid, cond, nug_point, kernel_fn, covparms,
         chol = jnp.linalg.cholesky(C)
         x = jax.scipy.linalg.cho_solve((chol, True), e0[..., None])[..., 0]
         col = x / jnp.sqrt(x[:, :1])
+    # per-row numerical-failure handling: a non-SPD conditioning matrix
+    # poisons its row with NaN/Inf — zero it and report a count, like the
+    # reference's per-row try/catch (/root/reference/src/U_NZentries.cpp:60-66)
+    bad = ~jnp.all(jnp.isfinite(col), axis=1)
+    nbad = jnp.sum(bad)
+    jax.lax.cond(nbad > 0,
+                 lambda c: jax.debug.print(
+                     "u_entries: Cholesky failed for {} row(s); zeroed "
+                     "(non-SPD conditioning covariance)", c),
+                 lambda c: None, nbad)
+    # drop the failed row's contribution cleanly: off-diagonals 0, diagonal 1
+    # (zero quadform terms, zero logdet contribution) so the likelihood stays
+    # finite and the printed count is the failure signal
+    e0row = jnp.zeros((1, mp1), col.dtype).at[0, 0].set(1.0)
+    col = jnp.where(bad[:, None], e0row, col)
     return jnp.where(valid, col, 0.0)

@@ -23,7 +23,7 @@ __all__ = ["make_mesh", "sharded_loglik_fn", "sharded_loglik_core",
            "shard_rows"]
 
 _ROW_KEYS = ("NN", "valid", "cond", "nb_resp", "nb_obs_pos", "has_lat",
-             "latent_rank", "obs_pos")
+             "has_col", "latent_rank", "obs_pos", "pdist")
 
 
 def make_mesh(devices=None, rows=None, chains=1):

@@ -119,6 +119,14 @@ class LikelihoodPlan:
     ord_z: np.ndarray            # (n_obs,) user-z gather
     nb_obs_pos: np.ndarray       # (n_all, m+1) obs position of neighbors (clamped)
     nb_resp: np.ndarray          # (n_all, m+1) bool: valid response-conditioned nb
+    ic0: bool = False
+    known_pts: np.ndarray | None = None   # zero-nugget (exact) observations
+    zero_obs: np.ndarray | None = None    # (n_obs,) ordered-position mask
+
+    @property
+    def use_mf(self) -> bool:
+        """Whether the multifrontal engine handles the factor phase."""
+        return self.mode == "chol" and not self.ic0 and self.n_lat > 0
 
     # V storage: logical pattern (column-major CSC) + physical layout
     v_nnz: int = 0
@@ -638,7 +646,51 @@ def build_likelihood_plan(spec, dtype=np.float32) -> LikelihoodPlan:
         obs_points=np.flatnonzero(has_obs).astype(np.int32),
         ord_z=spec.ord_z.astype(np.int32),
         nb_obs_pos=np.where(nb_obs_pos >= 0, nb_obs_pos, 0).astype(np.int32),
-        nb_resp=nb_resp)
+        nb_resp=nb_resp, ic0=bool(spec.ic0))
+    known = spec.known_pts
+    if known is None:
+        known = np.zeros(n_all, dtype=bool)
+    plan.known_pts = known
+    zero_obs = np.zeros(n_obs, dtype=bool)
+    zero_obs[obs_pos[known & has_obs]] = True
+    plan.zero_obs = zero_obs
+    if mode == "obspred":
+        plan.n_pred_lat = n_lat - int(has_lat[:spec.n_obs].sum())
+    plan.compiled["_spec"] = spec
+    return plan
+
+
+def ensure_v(plan) -> "LikelihoodPlan":
+    """Build the per-entry V-factor machinery lazily (first use).
+
+    The multifrontal engine (plan.use_mf) does not need any of it; building
+    it eagerly would redo the expensive symbolic factorization the engine
+    was designed to avoid.  Prediction paths in 'obspred'/'direct' modes and
+    the ic0 variant call this before touching v_* / solve-schedule fields.
+    """
+    if plan.v_colptr is not None:
+        return plan
+    spec = plan.compiled["_spec"]
+    _build_v_machinery(plan, spec)
+    return plan
+
+
+def _build_v_machinery(plan, spec):
+    """Per-entry V pattern, factor schedule and solve schedules (heavy)."""
+    mode = plan.mode
+    dtype = plan.dtype
+    n_all, mp1 = plan.NN.shape
+    n_lat = plan.n_lat
+    n_obs = plan.n_obs
+    NN_c = plan.NN.astype(np.int64)
+    cond = plan.cond
+    has_lat = plan.has_latent_pts
+    has_obs = spec.has_obs
+    latent_rank = spec.latent_rank
+    obs_pos = spec.obs_pos
+    revlat = np.where(has_lat, n_lat - 1 - latent_rank, -1)
+    u_rows_rev = np.where(cond, revlat[NN_c], -1)
+    u_rows_rev = np.where(has_lat[:, None], u_rows_rev, -1)
 
     # ---- decide which latent columns are 'direct' vs 'chol' ----
     # direct cols occupy the leading rev block [0, rev_offset), chol columns
@@ -646,9 +698,7 @@ def build_likelihood_plan(spec, dtype=np.float32) -> LikelihoodPlan:
     if mode == "direct":
         rev_offset = n_lat
     elif mode == "obspred":
-        n_obs_lat = int(has_lat[:spec.n_obs].sum())
-        rev_offset = n_lat - n_obs_lat
-        plan.n_pred_lat = rev_offset
+        rev_offset = plan.n_pred_lat
     else:
         rev_offset = 0
     n_A = n_lat - rev_offset
@@ -807,6 +857,33 @@ def build_likelihood_plan(spec, dtype=np.float32) -> LikelihoodPlan:
 def get_plan(spec, dtype=np.float32) -> LikelihoodPlan:
     key = ("likelihood_plan", np.dtype(dtype).name)
     return spec.cached(key, lambda: build_likelihood_plan(spec, dtype))
+
+
+def get_mf_plan(plan, leaf_elems=None):
+    """Multifrontal plan for the 'chol'-mode factor (cached on the plan).
+
+    Vertices are the latent ranks; element e (one per ordered point) lists
+    the latent ranks of its latent-conditioned neighbors (self first) — the
+    nonzero rows of U_y's column e, so W = U_y U_y^T + D = sum_e u_e u_e^T
+    + diag(D).  Also returns `vert_obs`, the obs position of each vertex's
+    point (-1 if unobserved), used for the D diagonal and the direct z2 term.
+    """
+    key = "mf_plan"
+    if key in plan.compiled:
+        return plan.compiled[key]
+    from .linalg.multifrontal import build_mf_plan
+    lr = plan.latent_rank.astype(np.int64)
+    elem_verts = np.where(plan.cond, lr[plan.NN], -1)
+    if leaf_elems is None:
+        # larger leaves amortize better on big problems (wider fronts, more
+        # MXU work per index byte) without exploding padding on small ones
+        leaf_elems = 96 if plan.n_all < 300_000 else 160
+    mf = build_mf_plan(elem_verts, plan.locs, plan.n_lat,
+                       leaf_elems=leaf_elems)
+    lat_pts = np.flatnonzero(plan.has_latent_pts)
+    vert_obs = plan.obs_pos[lat_pts].astype(np.int32)
+    plan.compiled[key] = (mf, vert_obs)
+    return plan.compiled[key]
 
 
 def get_sel_pair_slots(spec) -> np.ndarray:

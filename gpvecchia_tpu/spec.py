@@ -55,6 +55,10 @@ class VecchiaSpec:
     n_obs: int = 0             # number of observed locations
     n_pred: int = 0            # number of prediction locations
     mra_eff_m: int | None = None
+    # zero-nugget variant marker: points whose observation is EXACT (their
+    # latent is known, so they behave as response-type columns; reference
+    # handles this by row deletion + permutation, R/createU.R:83-86,173-193)
+    known_pts: np.ndarray | None = None
 
     # ---- derived, cached ----
     _cache: dict = dataclasses.field(default_factory=dict, repr=False)
@@ -342,5 +346,5 @@ def _specify_zy(locs, locsord, ordv, ord_z, obs, NNarray, valid, n, n_pred, m,
         locsord=locsord_zy, NNarray=NN_all, cond_latent=cond,
         has_latent=has_latent, has_obs=has_obs,
         ord=ordv, ord_z=ord_z, ordering_pred=ordering_pred,
-        cond_yz="zy", conditioning=conditioning, ic0=ic0,
+        cond_yz=cond_yz, conditioning=conditioning, ic0=ic0,
         n_obs=n, n_pred=n_pred)

@@ -10,11 +10,14 @@ precomputes every static index structure the device compute path needs:
   * flat slot maps so that all device work becomes gathers, segment-sums and
     batched dense linear algebra on static shapes.
 
-Key design fact (SURVEY.md section 0): with the pattern of chol(rev(W))
-precomputed *including fill*, each column of the exact factor is an
-independent small dense solve (KL-minimization identity, Schaefer et al.,
-arXiv:2004.14455), so the "sequential" sparse Cholesky becomes an
-embarrassingly parallel batched kernel on TPU.
+Note: the exact Cholesky columns are NOT mutually independent (the
+KL-minimization identity of Schaefer et al., arXiv:2004.14455, computes
+inverse-Cholesky columns from *covariance* blocks, which are not available
+here); the factor schedules built from these patterns respect the true
+elimination dependencies level by level.  The preferred factor path is now
+the multifrontal engine (linalg/multifrontal.py), which exploits the one
+freedom that does exist: logdet/solves/inverse-diagonal of W are invariant
+under symmetric permutation, so the elimination ORDER is free to optimize.
 """
 
 from __future__ import annotations

@@ -1,116 +1,99 @@
-"""Per-phase TPU timing of the likelihood pipeline at a bench config.
+"""Per-phase timing of the Vecchia loglikelihood pipeline on the current
+backend (the single profiling entry point; consolidates the former
+profile_* scripts).
 
-Times (after warmup): u_entries, W build, V factor, forward solve, and the
-full loglik, each as its own jit, to locate the hot phase.  Also prints the
-static schedule structure (levels / bucket shapes) of the plan.
-
-Env: N, M, COND, REPS.
+Env knobs: N (default 100000), M (20), COND (SGV), REPS (5), DTYPE (f32).
+Phases: u_entries, mf_factor (factor+forward of W), full loglik, grad.
 """
+
 import os
 import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+
 import jax
 import jax.numpy as jnp
 
-from gpvecchia_tpu.spec import vecchia_specify
-from gpvecchia_tpu.plan import get_plan
-from gpvecchia_tpu.inference import likelihood as lk
-from gpvecchia_tpu.linalg.trisolve import forward_solve
-from gpvecchia_tpu.linalg.sparse import pair_sum
-from gpvecchia_tpu.kernels.u_entries import u_entries
-from gpvecchia_tpu.kernels.covariance import make_kernel_fn
+N = int(os.environ.get("N", 100_000))
+M = int(os.environ.get("M", 20))
+COND = os.environ.get("COND", "SGV")
+REPS = int(os.environ.get("REPS", 5))
+DTYPE = jnp.float64 if os.environ.get("DTYPE") == "f64" else jnp.float32
 
-n = int(os.environ.get("N", 100000))
-m = int(os.environ.get("M", 20))
-cond = os.environ.get("COND", "SGV")
-REPS = int(os.environ.get("REPS", 10))
+from gpvecchia_tpu import vecchia_specify               # noqa: E402
+from gpvecchia_tpu.inference.likelihood import (        # noqa: E402
+    _device_arrays, _mf_denominator, loglik_core)
+from gpvecchia_tpu.kernels.covariance import make_kernel_fn   # noqa: E402
+from gpvecchia_tpu.kernels.u_entries import u_entries   # noqa: E402
+from gpvecchia_tpu.linalg.sparse import gather          # noqa: E402
+from gpvecchia_tpu.plan import get_mf_plan, get_plan    # noqa: E402
 
-print("backend:", jax.default_backend())
-rng = np.random.default_rng(0)
-locs = rng.uniform(size=(n, 2))
-z = rng.standard_normal(n)
+rng = np.random.default_rng(1988)
+locs = rng.uniform(size=(N, 2))
+t0 = time.time()
+spec = vecchia_specify(locs, m=M, cond_yz=COND)
+t1 = time.time()
+plan = get_plan(spec, DTYPE)
+dev = _device_arrays(plan)
+t2 = time.time()
+print(f"backend={jax.default_backend()} n={N} m={M} cond={COND} "
+      f"mode={plan.mode} use_mf={plan.use_mf}")
+print(f"spec {t1 - t0:.1f}s  plan+dev {t2 - t1:.1f}s")
+if plan.use_mf:
+    mf, _ = get_mf_plan(plan)
+    sizes = [(1 << d, lv.npiv, lv.nbord) for d, lv in enumerate(mf.levels)]
+    print("mf levels (N, P, B):", sizes)
 
-t0 = time.perf_counter()
-spec = vecchia_specify(locs, m, cond_yz=cond)
-t1 = time.perf_counter()
-plan = get_plan(spec, np.float32)
-t2 = time.perf_counter()
-print(f"spec {t1-t0:.1f}s plan {t2-t1:.1f}s")
-
-# ---- static structure ----
-print(f"mode={plan.mode} n_lat={plan.n_lat} v_nnz={plan.v_nnz} "
-      f"v_phys={plan.v_phys_size} n_dir={plan.n_dir}")
-tot_lev = 0
-for b in plan.factor_buckets:
-    nlev = b.offsets.shape[0]
-    tot_lev += nlev
-    dd = [f"d{c[0].shape[-2]}x{c[0].shape[-1]}" for c in b.diag_classes]
-    oo = [f"o{c[0].shape[-2]}x{c[0].shape[-1]}" for c in b.off_classes]
-    print(f"  factor bucket nlev={nlev} S={b.S} {' '.join(dd + oo)}")
-print(f"factor: total levels={tot_lev} buckets={len(plan.factor_buckets)}")
-for name, blocks in (("fwd", plan.fwd_blocks), ("bwd", plan.bwd_blocks)):
-    tot = 0
-    for b in blocks:
-        tot += b.cols.shape[0]
-    shapes = [tuple(b.cols.shape) + ((b.row_slots.shape[-1],)
-              if hasattr(b, "row_slots") else (b.slots.shape[-1],))
-              for b in blocks]
-    print(f"{name}: levels={tot} buckets={len(blocks)} shapes={shapes}")
-wb = plan.w_schedule.buckets if plan.w_schedule else []
-print("w_sched buckets:", [(b.pa.shape) for b in wb])
-
-dev = lk._device_arrays(plan)
-dt = plan.dtype
-covparms = jnp.asarray([1.0, 0.1, 1.5], dt)
-nuggets = jnp.full((plan.n_obs,), 0.1, dt)
 kernel_fn = make_kernel_fn("matern")
+z = jnp.asarray(rng.normal(size=spec.n_obs), DTYPE)
+covparms = jnp.asarray([1.0, 0.2, 0.5], DTYPE)
+nuggets = jnp.full((spec.n_obs,), 0.1, DTYPE)
+dt = DTYPE
 
 
-def timeit(name, fn, *args):
-    t0 = time.perf_counter()
-    out = jax.block_until_ready(fn(*args))
-    t1 = time.perf_counter()
-    for _ in range(REPS):
-        out = jax.block_until_ready(fn(*args))
-    t2 = time.perf_counter()
-    print(f"{name:24s} compile+1st {t1-t0:7.2f}s   per-run {(t2-t1)/REPS*1e3:9.2f} ms")
+def timed(name, fn, *args):
+    t0 = time.time()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t1 = time.time()
+    # block on EVERY result: the runtime may skip executions whose outputs
+    # are never consumed, so blocking only the last one under-measures
+    outs = [fn(*args) for _ in range(REPS)]
+    jax.block_until_ready(outs)
+    t2 = time.time()
+    print(f"{name:16s} compile+1st {t1 - t0:7.1f}s   per-run "
+          f"{(t2 - t1) / REPS * 1e3:8.2f} ms", flush=True)
     return out
 
 
 @jax.jit
-def f_uentries(dev, covparms, nug_point):
+def f_u(dev, covparms, nuggets):
+    nug_ord = gather(nuggets, dev["ord_z"])
+    nug_point = jnp.zeros(plan.n_all, dt).at[dev["obs_points"]].set(nug_ord)
     return u_entries(dev["locs"], dev["NN"], dev["valid"], dev["cond"],
-                     nug_point, kernel_fn, covparms)
+                     nug_point, kernel_fn, covparms, pdist=dev.get("pdist"))
 
 
-@jax.jit
-def f_wbuild(dev, col, nug_ord):
-    ucat = jnp.concatenate([col.ravel(), 1.0 / nug_ord, jnp.ones(1, dt)])
-    return pair_sum(ucat, ucat, dev["w_sched"], dt)
+col = timed("u_entries", f_u, dev, covparms, nuggets)
 
+if plan.use_mf:
+    @jax.jit
+    def f_mf(dev, col, z, nuggets):
+        nug_ord = gather(nuggets, dev["ord_z"])
+        zord = gather(z, dev["ord_z"])
+        znb = zord[dev["nb_obs_pos"]]
+        z1L = jnp.sum(jnp.where(dev["nb_resp"], col * znb, 0.0), axis=1)
+        fac = _mf_denominator(plan, dev, col, z1L, zord, nug_ord, dt)
+        return fac["logdet"], fac["quad"]
 
-@jax.jit
-def f_vfactor(dev, col, nug_ord):
-    return lk.compute_v_factor(plan, dev, col, nug_ord, dt)
+    timed("mf_factor+fwd", f_mf, dev, col, z, nuggets)
 
+core, dev2 = loglik_core(spec, "matern", DTYPE)
+f_ll = jax.jit(core)
+timed("full loglik", f_ll, dev2, z, covparms, nuggets)
 
-@jax.jit
-def f_fwd(dev, v_flat, b):
-    return forward_solve(v_flat, b, dev["fwd"], x_size=plan.fwd_x_size)
-
-
-nug_ord, nug_point = jax.jit(
-    lambda nu: lk._nugget_vectors(plan, dev, nu, dt))(nuggets)
-
-col = timeit("u_entries", f_uentries, dev, covparms, nug_point)
-w_flat = timeit("W build (pair_sum)", f_wbuild, dev, col, nug_ord)
-v_flat = timeit("v_factor (W+chol)", f_vfactor, dev, col, nug_ord)
-b = jnp.asarray(rng.standard_normal(plan.n_lat), dt)
-timeit("forward_solve", f_fwd, dev, v_flat, b)
-
-fn = lk.loglik_fn(spec, "matern")
-timeit("full loglik", fn, jnp.asarray(z, dt), covparms, nuggets)
+f_grad = jax.jit(jax.grad(lambda d, z, c, n: core(d, z, c, n), argnums=2))
+timed("grad loglik", f_grad, dev2, z, covparms, nuggets)
