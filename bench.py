@@ -4,8 +4,9 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Config via env: BENCH_N (default 100000), BENCH_M (20), BENCH_COND (SGV),
-BENCH_EVALS (20).
+Config via env: BENCH_N (default 1000000), BENCH_M (40), BENCH_COND (SGV),
+BENCH_EVALS (8) — the BASELINE.json north-star configuration.  The
+parameter-free spec is cached on disk across runs (BENCH_SPEC_CACHE).
 
 vs_baseline models the reference's OpenMP C++/R pipeline on a 16-core CPU
 (the reference publishes no numbers, BASELINE.md): per likelihood
@@ -43,18 +44,25 @@ def unfilled_w_nnz(plan):
     verts = np.where(plan.cond, lr[NN], -1)
     mp1 = verts.shape[1]
     iu, ju = np.triu_indices(mp1)
-    a = verts[:, iu].ravel()
-    b = verts[:, ju].ravel()
-    ok = (a >= 0) & (b >= 0)
-    keys = np.maximum(a[ok], b[ok]) * plan.n_lat + np.minimum(a[ok], b[ok])
-    return int(np.unique(keys).size)
+    uniq = np.empty(0, np.int64)
+    # chunked unique (a single sort of n*(m+1)(m+2)/2 int64 keys costs
+    # minutes and ~7 GB at the n=1e6/m=40 config)
+    step = max(1, 30_000_000 // iu.size)
+    for s0 in range(0, verts.shape[0], step):
+        v = verts[s0:s0 + step]
+        a = v[:, iu].ravel()
+        b = v[:, ju].ravel()
+        ok = (a >= 0) & (b >= 0)
+        keys = np.maximum(a[ok], b[ok]) * plan.n_lat + np.minimum(a[ok], b[ok])
+        uniq = np.union1d(uniq, keys)
+    return int(uniq.size)
 
 
 def main():
-    n = int(os.environ.get("BENCH_N", 100_000))
-    m = int(os.environ.get("BENCH_M", 20))
+    n = int(os.environ.get("BENCH_N", 1_000_000))
+    m = int(os.environ.get("BENCH_M", 40))
     cond = os.environ.get("BENCH_COND", "SGV")
-    n_evals = int(os.environ.get("BENCH_EVALS", 20))
+    n_evals = int(os.environ.get("BENCH_EVALS", 8))
 
     t_start = time.time()
     import jax
@@ -72,7 +80,17 @@ def main():
     rng = np.random.default_rng(1988)
     locs = rng.uniform(size=(n, 2))
     t0 = time.time()
-    spec = vecchia_specify(locs, m=m, cond_yz=cond)
+    cache = os.environ.get("BENCH_SPEC_CACHE",
+                           f"/tmp/gpv_spec_{n}_{m}_{cond}.npz")
+    if cache and os.path.exists(cache):
+        from gpvecchia_tpu.utils.serialize import load_spec
+        spec = load_spec(cache)
+        print(f"[bench] spec loaded from {cache}", file=sys.stderr)
+    else:
+        spec = vecchia_specify(locs, m=m, cond_yz=cond)
+        if cache:
+            from gpvecchia_tpu.utils.serialize import save_spec
+            save_spec(spec, cache)
     t1 = time.time()
     plan = get_plan(spec, dtype)
     w_nnz = unfilled_w_nnz(plan)
@@ -92,8 +110,14 @@ def main():
     print(f"[bench] compile+first eval {t4 - t3:.1f}s  loglik={float(out):.2f}",
           file=sys.stderr)
 
-    # steady state: vary parameters so nothing can be constant-folded
-    params = [jnp.asarray(covparms0 * (1.0 + 0.01 * k), dtype)
+    # steady state: vary variance/range so nothing can be constant-folded.
+    # Smoothness stays at 0.5: moving it off a half-integer switches the
+    # Matern to the general Bessel-K path (a capability the reference shares
+    # via Boost, but its cost model above assumes closed-form kernels).
+    scale = np.ones((n_evals, 3))
+    scale[:, 0] = 1.0 + 0.01 * np.arange(n_evals)
+    scale[:, 1] = 1.0 + 0.005 * np.arange(n_evals)
+    params = [jnp.asarray(covparms0 * scale[k], dtype)
               for k in range(n_evals)]
     for p in params[:2]:
         fn(z, p, nuggets).block_until_ready()

@@ -111,6 +111,37 @@ struct KDTree {
   }
 };
 
+// Bentley-Saxe kd-forest: batched inserts with logarithmic merging, so the
+// total (re)build cost is O(n log^2 n) instead of the O(n^2 / batch) of
+// rebuilding one tree (which made maxmin/ordered_nn quadratic at n=1e6).
+struct KDForest {
+  const double* pts = nullptr;
+  int d = 0;
+  std::vector<KDTree> trees;
+  std::vector<std::vector<int>> idsets;
+
+  void reset(const double* p, int dd) {
+    pts = p; d = dd; trees.clear(); idsets.clear();
+  }
+  void insert_batch(std::vector<int> cur) {
+    while (!idsets.empty() && idsets.back().size() <= cur.size()) {
+      cur.insert(cur.end(), idsets.back().begin(), idsets.back().end());
+      idsets.pop_back();
+      trees.pop_back();
+    }
+    idsets.push_back(std::move(cur));
+    trees.emplace_back();
+    trees.back().init(pts, d, idsets.back());
+  }
+  void nearest1(const double* q, double& best) const {
+    for (const auto& t : trees) t.nearest1(t.root, q, best);
+  }
+  void knn(const double* q, int k,
+           std::priority_queue<std::pair<double, int>>& heap) const {
+    for (const auto& t : trees) t.knn(t.root, q, k, heap);
+  }
+};
+
 }  // namespace
 
 extern "C" {
@@ -149,9 +180,9 @@ void maxmin_exact(const double* locs, int64_t n, int d, int64_t* order) {
     heap.push({s, i});
   }
 
-  KDTree tree;
-  std::vector<int> in_tree = {(int)first};
-  tree.init(locs, d, in_tree);
+  KDForest forest;
+  forest.reset(locs, d);
+  forest.insert_batch({(int)first});
   std::vector<int64_t> recent;
 
   for (int64_t pos = 1; pos < n; ++pos) {
@@ -169,7 +200,7 @@ void maxmin_exact(const double* locs, int64_t n, int d, int64_t* order) {
         true_d2 = std::min(true_d2, s);
       }
       double tb = true_d2;
-      tree.nearest1(tree.root, locs + i * d, tb);
+      forest.nearest1(locs + i * d, tb);
       true_d2 = std::min(true_d2, tb);
       double next_best = heap.empty() ? -1e300 : heap.top().first;
       if (true_d2 >= next_best) {
@@ -180,10 +211,8 @@ void maxmin_exact(const double* locs, int64_t n, int d, int64_t* order) {
       }
       heap.push({true_d2, i});
     }
-    if ((int64_t)recent.size() * 4 >= (int64_t)in_tree.size() ||
-        recent.size() >= 512) {
-      for (int64_t r : recent) in_tree.push_back((int)r);
-      tree.init(locs, d, in_tree);
+    if (recent.size() >= 256) {
+      forest.insert_batch(std::vector<int>(recent.begin(), recent.end()));
       recent.clear();
     }
   }
@@ -200,79 +229,38 @@ void ordered_nn(const double* locs, int64_t n, int d, int m, int64_t* NN) {
     NN[i * (m + 1)] = i;
     for (int j = 1; j <= m; ++j) NN[i * (m + 1) + j] = -1;
   }
-  KDTree big, local;
-  std::vector<int> ids;
+  KDForest forest;
+  forest.reset(locs, d);
+  std::vector<int64_t> buf;  // previously-ordered points not yet in the forest
   std::vector<std::pair<double, int64_t>> cand;
-  const int64_t C0 = 1024;
-  int64_t a = 0;
-  while (a < n) {
-    int64_t b = std::min(n, a + std::max(C0, a));
-    if (a > 0) {
-      ids.resize(a);
-      for (int64_t i = 0; i < a; ++i) ids[i] = (int)i;
-      big.init(locs, d, ids);
-    }
-    int64_t c = b - a;
-    ids.resize(c);
-    for (int64_t i = 0; i < c; ++i) ids[i] = (int)(a + i);
-    local.init(locs, d, ids);
-
-    for (int64_t i = a; i < b; ++i) {
-      int64_t want = std::min<int64_t>(m, i);
-      if (want == 0) continue;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t want = std::min<int64_t>(m, i);
+    if (want > 0) {
       cand.clear();
-      if (a > 0) {
-        std::priority_queue<std::pair<double, int>> heap;
-        big.knn(big.root, locs + i * d, (int)std::min<int64_t>(m, a), heap);
-        while (!heap.empty()) {
-          cand.push_back({heap.top().first, heap.top().second});
-          heap.pop();
-        }
+      std::priority_queue<std::pair<double, int>> heap;
+      forest.knn(locs + i * d, (int)want, heap);
+      while (!heap.empty()) {
+        cand.push_back({heap.top().first, heap.top().second});
+        heap.pop();
       }
-      int64_t prefix = i - a;  // previously-ordered points inside the chunk
-      if (prefix > 0) {
-        int64_t need = std::min<int64_t>(m, prefix);
-        if (prefix <= 4 * (int64_t)m) {
-          for (int64_t j = a; j < i; ++j) {
-            double s = 0;
-            for (int k = 0; k < d; ++k) {
-              double t = locs[i * d + k] - locs[j * d + k];
-              s += t * t;
-            }
-            cand.push_back({s, j});
-          }
-        } else {
-          // k-doubling on the local tree, filtering to indices < i
-          int64_t k = std::min<int64_t>(2 * m + 1, c);
-          while (true) {
-            std::priority_queue<std::pair<double, int>> heap;
-            local.knn(local.root, locs + i * d, (int)k, heap);
-            std::vector<std::pair<double, int64_t>> got;
-            while (!heap.empty()) {
-              if (heap.top().second < i && heap.top().second != i)
-                got.push_back({heap.top().first, heap.top().second});
-              heap.pop();
-            }
-            if ((int64_t)got.size() >= need || k >= c) {
-              // safe only if the k-th overall neighbor distance bounds the
-              // need-th filtered one; with k >= c the search was exhaustive
-              std::sort(got.begin(), got.end());
-              if ((int64_t)got.size() > need) got.resize(need);
-              for (auto& pr : got) cand.push_back(pr);
-              break;
-            }
-            k = std::min<int64_t>(2 * k, c);
-          }
+      for (int64_t j : buf) {
+        double s = 0;
+        for (int k = 0; k < d; ++k) {
+          double t = locs[i * d + k] - locs[j * d + k];
+          s += t * t;
         }
+        cand.push_back({s, j});
       }
-      std::partial_sort(cand.begin(),
-                        cand.begin() + std::min<int64_t>(want, cand.size()),
-                        cand.end());
       int64_t lim = std::min<int64_t>(want, (int64_t)cand.size());
+      std::partial_sort(cand.begin(), cand.begin() + lim, cand.end());
       for (int64_t j = 0; j < lim; ++j)
         NN[i * (m + 1) + 1 + j] = cand[j].second;
     }
-    a = b;
+    buf.push_back(i);
+    if ((int64_t)buf.size() >= 256) {
+      forest.insert_batch(std::vector<int>(buf.begin(), buf.end()));
+      buf.clear();
+    }
   }
 }
 
@@ -284,8 +272,13 @@ void sgv_select(const int64_t* NN, int64_t n, int mp1, int64_t first_pred,
   if (n == 0) return;
   cond[0] = 1;
   std::vector<int64_t> latset;
+  // stamp[q] == k  iff  q is in row k's conditioning set (O(n m^2) total
+  // instead of the O(n m^3) of per-candidate linear membership scans)
+  std::vector<int64_t> stamp(n, -1);
   for (int64_t k = 1; k < n; ++k) {
     const int64_t* row = NN + k * mp1;
+    for (int j = 0; j < mp1; ++j)
+      if (row[j] >= 0) stamp[row[j]] = k;
     int best_score = 0;
     int64_t best_l = -1;
     for (int j = 1; j < mp1; ++j) {
@@ -295,13 +288,8 @@ void sgv_select(const int64_t* NN, int64_t n, int mp1, int64_t first_pred,
       int score = 0;
       const int64_t* lrow = NN + l * mp1;
       const uint8_t* lcond = cond + l * mp1;
-      for (int jj = 0; jj < mp1; ++jj) {
-        int64_t q = row[jj];
-        if (q < 0) continue;
-        for (int t = 0; t < mp1; ++t) {
-          if (lcond[t] && lrow[t] == q) { ++score; break; }
-        }
-      }
+      for (int t = 0; t < mp1; ++t)
+        if (lcond[t] && lrow[t] >= 0 && stamp[lrow[t]] == k) ++score;
       if (score > best_score) { best_score = score; best_l = l; }
     }
     uint8_t* crow = cond + k * mp1;

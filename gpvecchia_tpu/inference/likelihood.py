@@ -52,9 +52,18 @@ def _device_arrays(plan):
         "latent_rank": jnp.asarray(plan.latent_rank),
         "obs_pos": jnp.asarray(plan.obs_pos),
     }
-    # parameter-free packed pair distances (one-time device compute)
+    # parameter-free geometry caches (one-time device compute): packed pair
+    # distances when they fit comfortably, else just the gathered neighbor
+    # coordinates (the (n, P) distance array costs 3.3 GB at n=1e6/m=40)
     from ..kernels.u_entries import packed_pair_dist
-    dev["pdist"] = jax.jit(packed_pair_dist)(dev["locs"], dev["NN"])
+    mp1 = plan.NN.shape[1]
+    pairs = plan.n_all * (mp1 * (mp1 + 1)) // 2
+    if pairs <= 120_000_000:
+        dev["pdist"] = jax.jit(packed_pair_dist)(dev["locs"], dev["NN"])
+    else:
+        dev["nbr_pts"] = jax.jit(lambda l, nn: l[nn])(dev["locs"], dev["NN"])
+    # sequential row chunks keep u_entries intermediates ~<1 GB each
+    plan.compiled["u_row_chunks"] = max(1, -(-pairs * 4 // 450_000_000))
     if plan.n_lat == 0:
         # fully-known degenerate case: no factor machinery at all
         plan.compiled["dev"] = dev
@@ -204,7 +213,16 @@ def _mf_denominator(plan, dev, col, z1L, zord, nug_ord, dt, rhs=True):
                   rhs_vert=jnp.where(obs_v,
                                      -gather(zord, voc) / gather(nug_ord, voc),
                                      0.0))
-    return mf_factor(static, dev["mf"], u_elem, dvec, dtype=dt, **kw)
+    # bound the leaf-assembly intermediate to ~0.8 GB (power-of-two chunks)
+    leaf = dev["mf"]["levels"][-1]
+    NL, EL = leaf["elem_pt"].shape
+    F = static.npiv[-1] + static.nbord[-1]
+    need = NL * EL * F * 4
+    chunks = 1
+    while need // chunks > 800_000_000 and chunks < NL:
+        chunks *= 2
+    return mf_factor(static, dev["mf"], u_elem, dvec, dtype=dt,
+                     leaf_chunks=chunks, **kw)
 
 
 def _dispatch_covmodel(spec, covmodel, dtype):
@@ -251,7 +269,8 @@ def _loglik_core(plan, kernel_fn, covmat, dev, z, covparms, nuggets, sel=None):
     nug_ord, nug_point = _nugget_vectors(plan, dev, nuggets, dt)
     col = u_entries(dev["locs"], dev["NN"], dev["valid"], dev["cond"],
                     nug_point, kernel_fn, covparms, covmat=covmat, sel=sel,
-                    pdist=dev.get("pdist"))
+                    pdist=dev.get("pdist"), nbr_pts=dev.get("nbr_pts"),
+                    row_chunks=plan.compiled.get("u_row_chunks", 1))
 
     zord = gather(z, dev["ord_z"])
 

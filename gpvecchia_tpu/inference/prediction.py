@@ -38,7 +38,8 @@ def _posterior_core(plan, kernel_fn, covmat, dev, z, covparms, nuggets,
     nug_ord, nug_point = _nugget_vectors(plan, dev, nuggets, dt)
     col = u_entries(dev["locs"], dev["NN"], dev["valid"], dev["cond"],
                     nug_point, kernel_fn, covparms, covmat=covmat, sel=sel,
-                    pdist=dev.get("pdist"))
+                    pdist=dev.get("pdist"), nbr_pts=dev.get("nbr_pts"),
+                    row_chunks=plan.compiled.get("u_row_chunks", 1))
     from ..linalg.sparse import gather
     zord = gather(z, dev["ord_z"])
 

@@ -60,7 +60,7 @@ def packed_pair_dist(locs, NN):
 
 
 def build_cov_packed(locs, NN, valid, cond, nug_point, kernel_fn, covparms,
-                     covmat=None, sel=None, pdist=None):
+                     covmat=None, sel=None, pdist=None, nbr_pts=None):
     """Packed upper-triangle covariance blocks, batch-last: (P, n).
 
     P = (m+1)(m+2)/2 positions (iu, ju) of the conditioning-set covariance;
@@ -84,7 +84,12 @@ def build_cov_packed(locs, NN, valid, cond, nug_point, kernel_fn, covparms,
     elif covmat is not None:
         Cp = covmat[NN[:, iu], NN[:, ju]]
     else:
-        dist = pdist if pdist is not None else packed_pair_dist(locs, NN)
+        if pdist is not None:
+            dist = pdist
+        else:
+            pts = nbr_pts if nbr_pts is not None else locs[NN]
+            diff = pts[:, iu, :] - pts[:, ju, :]
+            dist = _safe_dist(jnp.sum(diff * diff, axis=-1))
         Cp = kernel_fn(dist, covparms)
     # response-conditioned neighbors contribute their nugget on the diagonal;
     # the packed diagonal slots are exactly the positions with iu == ju, so
@@ -175,11 +180,48 @@ def _use_crout():
 
 
 def u_entries(locs, NN, valid, cond, nug_point, kernel_fn, covparms,
-              covmat=None, sel=None, pdist=None):
-    """U-column coefficients (n, m+1), aligned with NNarray (self first)."""
+              covmat=None, sel=None, pdist=None, nbr_pts=None, row_chunks=1):
+    """U-column coefficients (n, m+1), aligned with NNarray (self first).
+
+    row_chunks > 1 processes the rows in that many sequential chunks
+    (lax.map) so the (n, (m+1)(m+2)/2) covariance intermediates never
+    materialize at once — required to fit large-n problems in HBM (the
+    n=1e6, m=40 north-star needs ~3.3 GB per live intermediate otherwise).
+    """
     mp1 = NN.shape[1]
+    n = NN.shape[0]
+    if row_chunks > 1 and covmat is None and sel is not None:
+        row_chunks = 1      # selected-matrix path is small; keep simple
+    if row_chunks > 1 and covmat is None:
+        pad = (-n) % row_chunks
+
+        def padrow(a, fill):
+            if a is None:
+                return None
+            if pad:
+                w = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+                a = jnp.pad(a, w, constant_values=fill)
+            return a.reshape((row_chunks, -1) + a.shape[1:])
+
+        stacked = dict(NN=padrow(NN, 0), valid=padrow(valid, False),
+                       cond=padrow(cond, False))
+        if pdist is not None:
+            stacked["pdist"] = padrow(pdist, 0.0)
+        else:
+            pts = nbr_pts if nbr_pts is not None else locs[NN]
+            stacked["nbr_pts"] = padrow(pts, 0.0)
+
+        def body(ch):
+            return u_entries(locs, ch["NN"], ch["valid"], ch["cond"],
+                             nug_point, kernel_fn, covparms,
+                             pdist=ch.get("pdist"),
+                             nbr_pts=ch.get("nbr_pts"))
+
+        col = jax.lax.map(body, stacked)
+        return col.reshape(-1, mp1)[:n]
     Cp = build_cov_packed(locs, NN, valid, cond, nug_point, kernel_fn,
-                          covparms, covmat, sel, pdist=pdist)
+                          covparms, covmat, sel, pdist=pdist,
+                          nbr_pts=nbr_pts)
     if _use_crout():
         x = crout_solve_e0(Cp, mp1)              # (m+1, n)
         col = (x * jax.lax.rsqrt(x[:1])).T       # (n, m+1)
@@ -196,12 +238,15 @@ def u_entries(locs, NN, valid, cond, nug_point, kernel_fn, covparms,
     # poisons its row with NaN/Inf — zero it and report a count, like the
     # reference's per-row try/catch (/root/reference/src/U_NZentries.cpp:60-66)
     bad = ~jnp.all(jnp.isfinite(col), axis=1)
-    nbad = jnp.sum(bad)
-    jax.lax.cond(nbad > 0,
-                 lambda c: jax.debug.print(
-                     "u_entries: Cholesky failed for {} row(s); zeroed "
-                     "(non-SPD conditioning covariance)", c),
-                 lambda c: None, nbad)
+    if jax.default_backend() != "tpu":
+        # host callback (unsupported on the TPU plugin backend): report the
+        # failure count like the reference's per-row stderr print
+        nbad = jnp.sum(bad)
+        jax.lax.cond(nbad > 0,
+                     lambda c: jax.debug.print(
+                         "u_entries: Cholesky failed for {} row(s); dropped "
+                         "(non-SPD conditioning covariance)", c),
+                     lambda c: None, nbad)
     # drop the failed row's contribution cleanly: off-diagonals 0, diagonal 1
     # (zero quadform terms, zero logdet contribution) so the likelihood stays
     # finite and the printed count is the failure signal

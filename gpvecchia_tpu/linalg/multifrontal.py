@@ -405,7 +405,7 @@ def _piv_gather(lvdev, vec, fill, F, dt):
 
 
 def mf_factor(static, mfdev, u_vals, dvec, rhs_elem=None, rhs_vert=None,
-              dtype=None):
+              dtype=None, leaf_chunks=1):
     """Factor W = sum_e u_e u_e^T + diag(dvec), optionally solving forward.
 
     u_vals: (E, K) element values aligned with the plan's elem_verts
@@ -440,14 +440,39 @@ def mf_factor(static, mfdev, u_vals, dvec, rhs_elem=None, rhs_vert=None,
         N = lv["piv_ids"].shape[0]
 
         if d == D:
-            u_loc = _leaf_uloc(lv, F, u_vals, dt)
-            front = jnp.einsum("nef,neg->nfg", u_loc, u_loc, precision=_PREC)
-            if want_rhs:
-                b = jnp.zeros((N, F), dt)
-                if rhs_elem is not None:
-                    re = _gather_elem(lv, rhs_elem, dt)
-                    b = b + jnp.einsum("nef,ne->nf", u_loc, re,
-                                       precision=_PREC)
+            nchunk = leaf_chunks if (leaf_chunks > 1 and N % leaf_chunks == 0) \
+                else 1
+            if nchunk > 1:
+                # sequential leaf chunks bound the (N, EL, F) localized-column
+                # intermediate (3.5 GB at the n=1e6/m=40 config otherwise)
+                ept_r = lv["elem_pt"].reshape(nchunk, N // nchunk, -1)
+                epos_r = lv["elem_pos"].reshape(
+                    nchunk, N // nchunk, ept_r.shape[-1], -1)
+
+                def leaf_body(args):
+                    ch = dict(elem_pt=args[0], elem_pos=args[1])
+                    ul = _leaf_uloc(ch, F, u_vals, dt)
+                    fr = jnp.einsum("nef,neg->nfg", ul, ul, precision=_PREC)
+                    if rhs_elem is not None:
+                        re = _gather_elem(ch, rhs_elem, dt)
+                        bb = jnp.einsum("nef,ne->nf", ul, re, precision=_PREC)
+                    else:
+                        bb = jnp.zeros((ul.shape[0], F), dt)
+                    return fr, bb
+
+                front, b = jax.lax.map(leaf_body, (ept_r, epos_r))
+                front = front.reshape(N, F, F)
+                b = b.reshape(N, F)
+            else:
+                u_loc = _leaf_uloc(lv, F, u_vals, dt)
+                front = jnp.einsum("nef,neg->nfg", u_loc, u_loc,
+                                   precision=_PREC)
+                if want_rhs:
+                    b = jnp.zeros((N, F), dt)
+                    if rhs_elem is not None:
+                        re = _gather_elem(lv, rhs_elem, dt)
+                        b = b + jnp.einsum("nef,ne->nf", u_loc, re,
+                                           precision=_PREC)
         else:
             front = _extend_add_mat(lv, F, upd, dt)
             if want_rhs:

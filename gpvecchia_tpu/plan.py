@@ -875,9 +875,10 @@ def get_mf_plan(plan, leaf_elems=None):
     lr = plan.latent_rank.astype(np.int64)
     elem_verts = np.where(plan.cond, lr[plan.NN], -1)
     if leaf_elems is None:
-        # larger leaves amortize better on big problems (wider fronts, more
-        # MXU work per index byte) without exploding padding on small ones
-        leaf_elems = 96 if plan.n_all < 300_000 else 160
+        # measured on TPU at n=1e5/m=20: 512-element leaves beat 96/256/1024
+        # (fewer extend-add levels; the deepest batched Cholesky lands in the
+        # small-batch/large-P regime where XLA's native lowering is efficient)
+        leaf_elems = 512
     mf = build_mf_plan(elem_verts, plan.locs, plan.n_lat,
                        leaf_elems=leaf_elems)
     lat_pts = np.flatnonzero(plan.has_latent_pts)
