@@ -166,7 +166,9 @@ def vecchia_prediction(z, spec, covparms, nuggets, var_exact=None,
 
     if return_values in ("meanvar", "all"):
         if var_exact is None:
-            var_exact = spec.n_pred < 4e4
+            # the chunked multi-RHS solves keep memory bounded, so default to
+            # the exact path well past the reference's 4e4 auto-threshold
+            var_exact = spec.n_pred < 2e5
         vars_ord = np.asarray(var_fn(v_flat))
         var_obs, var_pred = _extract(spec, vars_ord)
         if var_exact and spec.ordering_pred == "obspred" and spec.n_pred > 0:
@@ -196,7 +198,17 @@ def _exact_pred_vars(spec, plan, v_flat):
         x = forward_solve(v_flat, b, plan.fwd_blocks)
         return jnp.sum(x * x)
 
-    vars_pred_seq = jax.vmap(one)(jnp.asarray(rev_pos))
+    # chunked batched solves: a flat vmap would materialize an
+    # (n_pred, n_lat) solve workspace; lax.map over fixed-size chunks keeps
+    # memory bounded so large n_pred no longer needs the selected-inverse
+    # fallback (reference exact path, R/vecchia_prediction.R:224-244)
+    chunk = 1024
+    npred = rev_pos.size
+    pad = (-npred) % chunk
+    rp = np.concatenate([rev_pos, np.zeros(pad, np.int64)])
+    rp = jnp.asarray(rp.reshape(-1, chunk))
+    vars_chunks = jax.lax.map(lambda idx: jax.vmap(one)(idx), rp)
+    vars_pred_seq = vars_chunks.reshape(-1)[:npred]
     # back to original pred order
     out = np.empty(spec.n_pred)
     out[spec.ord[pred_seq] - spec.n_obs] = np.asarray(vars_pred_seq)

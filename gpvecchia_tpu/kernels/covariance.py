@@ -102,11 +102,15 @@ def esqe(dist, covparms):
 
 
 def make_kernel_fn(covmodel) -> Callable:
-    """Resolve a covariance model spec into f(dist_array, covparms).
+    """Resolve a covariance model spec into a covariance evaluator.
 
-    Accepts 'matern', 'esqe', or a callable.  A callable with one positional
-    argument is treated as f(dist) -> cov; with two as f(dist, covparms).
-    Callables taking location pairs are handled at a higher level.
+    Accepts 'matern', 'esqe', or a callable:
+      * f(dist) or f(dist, covparms) — evaluated on distance arrays;
+      * f(locs1, locs2) or f(locs1, locs2, covparms) with first parameter
+        named 'locs1'/'loc1'/'x1' — evaluated on broadcastable (..., d)
+        location-pair arrays (the reference's user covariance function over
+        location pairs, /root/reference/R/createU.R:93-108).  The returned
+        function carries ``takes_locs = True`` so callers feed coordinates.
     """
     if isinstance(covmodel, str):
         if covmodel == "matern":
@@ -117,10 +121,17 @@ def make_kernel_fn(covmodel) -> Callable:
     if callable(covmodel):
         import inspect
         try:
-            nargs = len(inspect.signature(covmodel).parameters)
+            params = list(inspect.signature(covmodel).parameters)
         except (TypeError, ValueError):
-            nargs = 2
-        if nargs == 1:
+            params = ["dist", "covparms"]
+        if params and params[0] in ("locs1", "loc1", "x1"):
+            if len(params) == 2:
+                fn = lambda a, b, covparms: covmodel(a, b)
+            else:
+                fn = lambda a, b, covparms: covmodel(a, b, covparms)
+            fn.takes_locs = True
+            return fn
+        if len(params) == 1:
             return lambda dist, covparms: covmodel(dist)
         return covmodel
     raise ValueError("covmodel must be a string or callable")

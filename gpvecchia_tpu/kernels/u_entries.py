@@ -83,6 +83,10 @@ def build_cov_packed(locs, NN, valid, cond, nug_point, kernel_fn, covparms,
         Cp = jnp.where(ps >= 0, flat_vals[jnp.clip(ps, 0)], 0.0)
     elif covmat is not None:
         Cp = covmat[NN[:, iu], NN[:, ju]]
+    elif getattr(kernel_fn, "takes_locs", False):
+        # user covariance over location pairs (reference createU.R:93-108)
+        pts = nbr_pts if nbr_pts is not None else locs[NN]
+        Cp = kernel_fn(pts[:, iu, :], pts[:, ju, :], covparms)
     else:
         if pdist is not None:
             dist = pdist
@@ -205,7 +209,7 @@ def u_entries(locs, NN, valid, cond, nug_point, kernel_fn, covparms,
 
         stacked = dict(NN=padrow(NN, 0), valid=padrow(valid, False),
                        cond=padrow(cond, False))
-        if pdist is not None:
+        if pdist is not None and not getattr(kernel_fn, "takes_locs", False):
             stacked["pdist"] = padrow(pdist, 0.0)
         else:
             pts = nbr_pts if nbr_pts is not None else locs[NN]

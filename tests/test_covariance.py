@@ -70,3 +70,37 @@ def test_matern_grad_wrt_nu():
     h = 1e-6
     fd = (float(f(jnp.asarray(0.8 + h))) - float(f(jnp.asarray(0.8 - h)))) / (2 * h)
     assert abs(float(g) - fd) < 1e-5
+
+
+def test_user_location_pair_covariance():
+    """String / dist-callable / location-pair-callable consistency
+    (reference covmodel argument types, test-covmodel-argument-types.r and
+    createU.R:93-108)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gpvecchia_tpu import vecchia_specify
+    from gpvecchia_tpu.inference.likelihood import vecchia_likelihood
+    from gpvecchia_tpu.kernels.covariance import matern
+
+    rng = np.random.default_rng(11)
+    locs = rng.uniform(size=(80, 2))
+    z = rng.normal(size=80)
+    spec = vecchia_specify(locs, m=10, cond_yz="SGV")
+    cp = (1.3, 0.25, 0.5)
+
+    ll_str = vecchia_likelihood(z, spec, cp, 0.2)
+
+    def distfun(dist, covparms):
+        return matern(dist, covparms)
+
+    ll_dist = vecchia_likelihood(z, spec, cp, 0.2, covmodel=distfun)
+
+    def locfun(locs1, locs2, covparms):
+        d2 = jnp.sum((locs1 - locs2) ** 2, axis=-1)
+        pos = d2 > 0
+        d = jnp.where(pos, jnp.sqrt(jnp.where(pos, d2, 1.0)), 0.0)
+        return matern(d, covparms)
+
+    ll_loc = vecchia_likelihood(z, spec, cp, 0.2, covmodel=locfun)
+    np.testing.assert_allclose(ll_dist, ll_str, rtol=1e-12)
+    np.testing.assert_allclose(ll_loc, ll_str, rtol=1e-12)

@@ -8,6 +8,8 @@ from gpvecchia_tpu.fit.mle import vecchia_estimate, vecchia_pred
 
 from reference_impl import matern_np
 
+pytestmark = pytest.mark.slow
+
 TRUE = (2.0, 0.2, 0.5)
 NUG = 0.2
 

@@ -11,6 +11,9 @@ import numpy as np
 
 from gpvecchia_tpu.fit.mcmc import run_hmc, sample_posterior
 from gpvecchia_tpu.spec import vecchia_specify
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def test_hmc_gaussian_target_moments():

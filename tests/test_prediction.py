@@ -119,3 +119,38 @@ def test_pred_cond_independent_runs():
         ref = dense_posterior(z, spec, COVPARMS, NUG)
     np.testing.assert_allclose(preds["mu_pred"], ref["mu_pred"], atol=1e-9)
     assert np.all(np.isfinite(preds["var_pred"]))
+
+
+def test_selinv_open_pattern_error_characterized():
+    """Quantify the selected-inverse obs-variance error on an OPEN pattern.
+
+    On closed patterns the Takahashi recursion is exact (tested above); on
+    open patterns dropped out-of-pattern terms bias the variances.  This
+    characterizes that error instead of hiding it behind a loose tolerance:
+    the median relative error must be small and shrink as m grows.
+    """
+    import numpy as np
+    from gpvecchia_tpu import vecchia_specify
+    from gpvecchia_tpu.inference.prediction import vecchia_prediction
+    from reference_impl import matern_np
+
+    rng = np.random.default_rng(1988)
+    n = 250
+    locs = rng.uniform(size=(n, 2))
+    z = rng.normal(size=n)
+    locs_pred = rng.uniform(size=(30, 2))
+    cp = (1.0, 0.3, 0.5)
+
+    # dense-oracle posterior variances at the observed points
+    D = np.linalg.norm(locs[:, None] - locs[None, :], axis=-1)
+    K = matern_np(D, cp)
+    var_ref = np.diag(K - K @ np.linalg.solve(K + 0.2 * np.eye(n), K))
+
+    med = {}
+    for m in (10, 30):
+        spec = vecchia_specify(locs, m=m, locs_pred=locs_pred)
+        out = vecchia_prediction(z, spec, cp, 0.2)
+        rel = np.abs(out["var_obs"] - var_ref) / var_ref
+        med[m] = np.median(rel)
+    assert med[30] < 0.02, med
+    assert med[30] <= med[10] * 1.5, med
