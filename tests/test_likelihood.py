@@ -141,3 +141,18 @@ def test_zy_runs():
         ll = vecchia_likelihood(z, spec, (1.0, 0.3, 0.5), 0.2)
         llr = dense_loglik(z, spec, (1.0, 0.3, 0.5), 0.2)
     assert abs(ll - llr) < 1e-9
+
+
+def test_golden_values():
+    """Fixed-seed golden log-likelihoods (regression guard, mirroring the
+    reference's hard-coded golden value in test-indep-blocks.r:31-36)."""
+    rng = np.random.default_rng(1988)
+    locs = rng.uniform(size=(200, 2))
+    z = rng.normal(size=200)
+    golden = {"SGV": -398.7167975671508,
+              "y": -397.881292926102,
+              "z": -398.55472750828096}
+    for cond, want in golden.items():
+        spec = vecchia_specify(locs, m=12, cond_yz=cond)
+        ll = vecchia_likelihood(z, spec, (1.2, 0.25, 0.5), 0.15)
+        np.testing.assert_allclose(ll, want, rtol=1e-12)
