@@ -137,13 +137,7 @@ def _cf2_kmu(mu, x):
     return kmu_s, kmu1_s
 
 
-@jax.custom_jvp
-def log_kv(nu, x):
-    """log K_nu(x) elementwise, for nu >= 0 (broadcasts nu against x).
-
-    Differentiable in nu and x (custom JVP below); fixed iteration counts
-    (TPU-friendly).
-    """
+def _log_kv_impl(nu, x):
     x = jnp.asarray(x)
     dt = x.dtype
     nu = jnp.asarray(nu, dt)
@@ -181,38 +175,58 @@ def log_kv(nu, x):
     return jnp.where(k > 0, logk, log_kmu)
 
 
-def _log_kv_jvp(primals, tangents):
-    """Derivatives without storing loop residuals (critical for AD cost:
-    naive reverse-mode through the fixed-iteration loops would checkpoint
-    every iterate of million-element arrays).
+@jax.custom_vjp
+def log_kv(nu, x):
+    """log K_nu(x) elementwise, for nu >= 0 (broadcasts nu against x).
+
+    Differentiable in nu and x via a custom VJP whose backward pass is built
+    from plain forward evaluations (critical for AD cost AND memory: without
+    it, reverse-mode partial-eval converts the fixed-iteration loops into
+    scans with per-iteration residual stacks — (ITERS, n, P)-sized arrays
+    that OOM the grad compile at the n=1e6/m=40 config, even as the untaken
+    branch of the Matern smoothness dispatch).
 
       d/dx  log K_nu(x) = nu/x - K_{nu+1}(x)/K_nu(x)   (exact recurrence)
       d/dnu log K_nu(x) : central finite difference of two primal evals
                           (no closed form; O(h^2) error, h ~ 3e-6 in f64)
-
-    Each term is a plain forward evaluation, so the backward pass costs a
-    constant multiple of the primal and compiles to the same fused loops.
     """
-    nu, x = primals
-    dnu, dx = tangents
-    x = jnp.asarray(x)
-    dt = x.dtype
-    nu = jnp.asarray(nu, dt)
-    lk = log_kv(nu, x)
-    out_tan = jnp.zeros_like(lk)
-    if not isinstance(dx, jax.custom_derivatives.SymbolicZero):
-        lk1 = log_kv(nu + 1.0, x)
-        ratio = jnp.exp(lk1 - lk)          # K_{nu+1}/K_nu
-        glx = nu / jnp.maximum(x, jnp.asarray(1e-30, dt)) - ratio
-        out_tan = out_tan + glx * dx
-    if not isinstance(dnu, jax.custom_derivatives.SymbolicZero):
-        h = jnp.asarray(3e-6 if dt == jnp.float64 else 1e-3, dt)
-        gln = (log_kv(nu + h, x) - log_kv(jnp.abs(nu - h), x)) / (2.0 * h)
-        out_tan = out_tan + gln * dnu
-    return lk, out_tan
+    return _log_kv_impl(nu, x)
 
 
-log_kv.defjvp(_log_kv_jvp, symbolic_zeros=True)
+def _unbroadcast(g, shape):
+    """Sum-reduce a cotangent back to an operand's original shape."""
+    if g.shape == tuple(shape):
+        return g
+    extra = g.ndim - len(shape)
+    if extra > 0:
+        g = jnp.sum(g, axis=tuple(range(extra)))
+    keep = tuple(i for i, s in enumerate(shape) if s == 1 and g.shape[i] != 1)
+    if keep:
+        g = jnp.sum(g, axis=keep, keepdims=True)
+    return g.reshape(shape)
+
+
+def _log_kv_fwd(nu, x):
+    lk = _log_kv_impl(nu, x)
+    return lk, (nu, x, lk)
+
+
+def _log_kv_bwd(res, g):
+    nu, x, lk = res
+    xa = jnp.asarray(x)
+    dt = xa.dtype
+    nub = jnp.broadcast_to(jnp.asarray(nu, dt), xa.shape)
+    lk1 = _log_kv_impl(nub + 1.0, xa)
+    glx = nub / jnp.maximum(xa, jnp.asarray(1e-30, dt)) - jnp.exp(lk1 - lk)
+    h = jnp.asarray(3e-6 if dt == jnp.float64 else 1e-3, dt)
+    gln = (_log_kv_impl(nub + h, xa)
+           - _log_kv_impl(jnp.abs(nub - h), xa)) / (2.0 * h)
+    dnu = _unbroadcast(g * gln, jnp.shape(nu)).astype(jnp.asarray(nu).dtype)
+    dx = _unbroadcast(g * glx, jnp.shape(x)).astype(dt)
+    return dnu, dx
+
+
+log_kv.defvjp(_log_kv_fwd, _log_kv_bwd)
 
 
 def kv(nu, x):

@@ -18,7 +18,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from .bessel import log_kv
+from .bessel import _log_kv_impl, log_kv
 
 __all__ = ["matern", "esqe", "pairwise_dist", "cross_dist", "make_kernel_fn"]
 
@@ -44,13 +44,14 @@ def cross_dist(a, b):
     return _safe_dist(jnp.sum(d * d, axis=-1))
 
 
-def matern(dist, covparms):
-    """Matern covariance on a distance array.
+def _matern_dispatch_idx(nu):
+    """Runtime branch index for a traced smoothness, matching the
+    reference's value-based closed-form fast paths (src/Matern.cpp:32-71)."""
+    return jnp.where(nu == 0.5, 0,
+                     jnp.where(nu == 1.5, 1, jnp.where(nu == 2.5, 2, 3)))
 
-    covparms = (variance, range, smoothness).  Closed forms are used when the
-    smoothness is a static 0.5 / 1.5 / 2.5; any other (or traced) smoothness
-    goes through the differentiable log-Bessel-K path.
-    """
+
+def _matern_raw(dist, covparms):
     sig2, rho, nu = covparms[0], covparms[1], covparms[2]
     s = dist / rho
 
@@ -82,12 +83,99 @@ def matern(dist, covparms):
         fn = {0.5: _m05, 1.5: _m15, 2.5: _m25}.get(nu_static, _mgen)
         c = fn(s, covparms[2])
     else:
-        # traced smoothness: runtime dispatch, matching the reference's
-        # value-based closed-form fast paths (src/Matern.cpp:32-71)
-        idx = jnp.where(nu == 0.5, 0,
-                        jnp.where(nu == 1.5, 1, jnp.where(nu == 2.5, 2, 3)))
+        idx = _matern_dispatch_idx(nu)
         c = jax.lax.switch(idx, [_m05, _m15, _m25, _mgen], s, nu)
     return sig2 * jnp.where(dist > 0, c, 1.0)
+
+
+@jax.custom_vjp
+def matern(dist, covparms):
+    """Matern covariance on a distance array.
+
+    covparms = (variance, range, smoothness).  Closed forms are used when the
+    smoothness is a static 0.5 / 1.5 / 2.5; any other (or traced) smoothness
+    goes through the differentiable log-Bessel-K path.
+
+    Carries a custom VJP with analytic branch derivatives: reverse mode
+    through the runtime smoothness dispatch (lax.switch) nested in a row
+    chunking scan would otherwise stack per-iteration residuals of the
+    Bessel series loops — (ITERS, n, P)-sized arrays that OOM the gradient
+    compile at the n=1e6/m=40 config.
+    """
+    return _matern_raw(dist, covparms)
+
+
+def _matern_fwd(dist, covparms):
+    c = _matern_raw(dist, covparms)
+    return c, (dist, covparms, c)
+
+
+def _matern_bwd(res, g):
+    dist, covparms, c = res
+    dt = c.dtype
+    sig2, rho, nu = covparms[0], covparms[1], covparms[2]
+    pos = dist > 0
+    s = jnp.where(pos, dist, 1.0) / rho
+    G = c / sig2                      # the unit-variance correlation g(s)
+
+    # dG/ds per smoothness branch — plain forward evaluations only
+    def _d05(s, nu, G):
+        return -G                     # G = exp(-s)
+
+    def _d15(s, nu, G):
+        return -3.0 * s * jnp.exp(-_SQRT3 * s)
+
+    def _d25(s, nu, G):
+        return -(5.0 / 3.0) * s * (1.0 + _SQRT5 * s) * jnp.exp(-_SQRT5 * s)
+
+    def _dgen(s, nu, G):
+        # dG/ds = G * (2 nu / s - K_{nu+1}(s)/K_nu(s))
+        r = jnp.exp(_log_kv_impl(nu + 1.0, s) - _log_kv_impl(nu, s))
+        return G * (2.0 * nu / s - r)
+
+    nu_static = None
+    if not isinstance(nu, jax.core.Tracer):
+        try:
+            nu_static = float(nu)
+        except TypeError:
+            nu_static = None
+    if nu_static is not None:
+        fn = {0.5: _d05, 1.5: _d15, 2.5: _d25}.get(nu_static, _dgen)
+        dGds = fn(s, nu, G)
+        is_gen = nu_static not in (0.5, 1.5, 2.5)
+        idx = None
+    else:
+        idx = _matern_dispatch_idx(nu)
+        dGds = jax.lax.switch(idx, [_d05, _d15, _d25, _dgen], s, nu, G)
+        is_gen = None
+    dGds = jnp.where(pos, dGds, 0.0)
+
+    gsig2 = jnp.sum(g * G)
+    grho = jnp.sum(g * (sig2 * dGds) * (-(s / rho)))    # ds/drho = -s/rho
+
+    def _dnu_sum():
+        # dG/dnu = G * (-log 2 - digamma(nu) + log s + dlogK/dnu), fd on nu
+        h = jnp.asarray(3e-6 if dt == jnp.float64 else 1e-3, dt)
+        dlk = (_log_kv_impl(nu + h, s)
+               - _log_kv_impl(jnp.abs(nu - h), s)) / (2.0 * h)
+        dGdnu = G * (-jnp.log(jnp.asarray(2.0, dt))
+                     - jax.lax.digamma(nu) + jnp.log(s) + dlk)
+        return jnp.sum(g * sig2 * jnp.where(pos, dGdnu, 0.0))
+
+    if idx is None:
+        gnu = _dnu_sum() if is_gen else jnp.zeros((), dt)
+    else:
+        gnu = jax.lax.cond(idx == 3, _dnu_sum, lambda: jnp.zeros((), dt))
+
+    dcov = jnp.zeros_like(covparms)
+    dcov = dcov.at[0].set(gsig2.astype(dcov.dtype))
+    dcov = dcov.at[1].set(grho.astype(dcov.dtype))
+    dcov = dcov.at[2].set(gnu.astype(dcov.dtype))
+    ddist = (g * sig2 * dGds / rho).astype(dt)
+    return ddist, dcov
+
+
+matern.defvjp(_matern_fwd, _matern_bwd)
 
 
 def esqe(dist, covparms):

@@ -1,0 +1,203 @@
+"""Pallas TPU kernel: batched packed-triangle Cholesky solve x = C^{-1} e0.
+
+This is the device replacement for the reference's hot per-row loop
+(/root/reference/src/U_NZentries.cpp:37-69): every ordered point's
+(m+1)x(m+1) conditioning covariance is factored and solved against e_self.
+The batch lives in the lane (last) dimension; the packed upper triangle of
+each small matrix is a (P, n) array with P = (m+1)(m+2)/2 (row-major rows of
+the upper triangle, so row i of the triangle occupies the contiguous slab
+[off_i, off_i + F - i)).
+
+Kernel layout (per n-tile of TN lanes, everything VMEM-resident):
+
+  * unpack: column j of C for rows >= j IS the row-i slab at off_j (symmetry),
+    so F contiguous slab copies fill the lower part of a (F, F, TN) scratch
+    whose first axis indexes COLUMNS (tiles) and second axis ROWS (sublanes).
+  * right-looking Cholesky, in place: at step j read column tile j, scale by
+    rsqrt(diag), write the finished L column back over it, and subtract the
+    rank-1 outer update only from the trailing column tiles (j+1:) — the
+    triangular update halves the flops and the finished columns double as
+    the stored factor (no second buffer, no HBM round trip).
+  * the forward solve L y = b rides the factorization (b updated by
+    -Lcol * y_j each step), and the backward solve L^T x = y reads the
+    stored column tiles directly (L[k, j] = column-tile j, sublane k).
+
+One HBM read of the packed block and one HBM write of the (F, TN) solution
+per tile — the XLA einsum formulation this replaces round-trips every
+intermediate column through HBM and ran at ~1% VPU utilization.
+
+The custom VJP uses w = C^{-1} xbar (one more factor+solve of the SAME
+matrix, recomputed in VMEM rather than storing the (F, F, n) factor) and
+emits the packed symmetric gradient  gbar[i<=j] = -(w_i x_j + w_j x_i)
+(halved on the diagonal) as contiguous slab writes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["packed_solve_e0", "has_pallas_support"]
+
+# flipped to True by tests to run the kernels through the Pallas interpreter
+# on CPU (the TPU lowering itself is exercised by bench/driver runs)
+INTERPRET = False
+
+_VMEM_BUDGET = 10 * 2 ** 20      # bytes of VMEM the tile sizing aims for
+
+
+def has_pallas_support():
+    return jax.default_backend() == "tpu"
+
+
+def _slab_offsets(F):
+    """Packed row-major upper triangle: row i occupies [off_i, off_i + F - i)."""
+    off = np.zeros(F + 1, np.int64)
+    off[1:] = np.cumsum(F - np.arange(F))
+    return tuple(int(o) for o in off)
+
+
+def _tile_n(F, P, itemsize):
+    """Lane-tile size fitting the kernel's buffers in the VMEM budget."""
+    per_lane = (2 * P + F * F + 8 * F) * itemsize   # Cp in+grad, CL, vectors
+    tn = _VMEM_BUDGET // max(per_lane, 1)
+    return int(max(256, min(1024, (tn // 128) * 128)))
+
+
+def _unpack_factor_forward(F, off, cp_ref, CL, bv, yv, dinv):
+    """Factor C (packed in cp_ref) into L column tiles in CL, forward-solving
+    L y = b (bv must hold b on entry; yv holds y on exit)."""
+    for j in range(F):
+        CL[j, j:F, :] = cp_ref[off[j]:off[j] + (F - j), :]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (F, 1), 0)
+    for j in range(F):
+        di = jax.lax.rsqrt(CL[j, j:j + 1, :])             # (1, TN)
+        dinv[j:j + 1, :] = di
+        Lcol = jnp.where(rows >= j, CL[j] * di, 0.0)      # (F, TN)
+        CL[j] = Lcol
+        yj = bv[j:j + 1, :] * di
+        yv[j:j + 1, :] = yj
+        bv[:] = bv[:] - Lcol * yj
+        if j + 1 < F:
+            # trailing-column rank-1 update: CL[b, a] -= Lcol[a] * Lcol[b]
+            # (explicit lax slice: jnp's a[j+1:] on traced values lowers to
+            # lax.gather, which Mosaic cannot lower)
+            Ltail = jax.lax.slice_in_dim(Lcol, j + 1, F, axis=0)
+            CL[j + 1:F] = CL[j + 1:F] - Lcol[None] * Ltail[:, None, :]
+
+
+def _backward_subst(F, CL, yv, dinv, xv):
+    """Solve L^T x = y into xv, reading L columns from CL tiles."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (F, 1), 0)
+    for j in range(F - 1, -1, -1):
+        if j + 1 < F:
+            s = jnp.sum(jnp.where(rows > j, CL[j] * xv[:], 0.0),
+                        axis=0, keepdims=True)            # (1, TN)
+            xv[j:j + 1, :] = (yv[j:j + 1, :] - s) * dinv[j:j + 1, :]
+        else:
+            xv[j:j + 1, :] = yv[j:j + 1, :] * dinv[j:j + 1, :]
+
+
+def _solve_e0_kernel(F, off, cp_ref, x_ref, CL, bv, yv, dinv):
+    rows = jax.lax.broadcasted_iota(jnp.int32, bv.shape, 0)
+    bv[:] = jnp.where(rows == 0, 1.0, 0.0).astype(bv.dtype)
+    _unpack_factor_forward(F, off, cp_ref, CL, bv, yv, dinv)
+    _backward_subst(F, CL, yv, dinv, x_ref)
+
+
+def _solve_e0_bwd_kernel(F, off, cp_ref, xbar_ref, x_ref, g_ref,
+                         CL, bv, yv, dinv, wv):
+    bv[:] = xbar_ref[:]
+    _unpack_factor_forward(F, off, cp_ref, CL, bv, yv, dinv)
+    _backward_subst(F, CL, yv, dinv, wv)                  # w = C^{-1} xbar
+    for i in range(F):
+        g_ref[off[i]:off[i] + 1, :] = -(wv[i:i + 1, :] * x_ref[i:i + 1, :])
+        if i + 1 < F:
+            g_ref[off[i] + 1:off[i] + (F - i), :] = -(
+                wv[i:i + 1, :] * x_ref[i + 1:F, :]
+                + x_ref[i:i + 1, :] * wv[i + 1:F, :])
+
+
+def _pad_lanes(arrs, TN):
+    n = arrs[0].shape[-1]
+    pad = (-n) % TN
+    if pad:
+        arrs = [jnp.pad(a, ((0, 0), (0, pad))) for a in arrs]
+    return arrs, n, (n + pad) // TN
+
+
+def _solve_e0_impl(Cp, F):
+    P = Cp.shape[0]
+    off = _slab_offsets(F)
+    TN = _tile_n(F, P, Cp.dtype.itemsize)
+    (Cp,), n, nt = _pad_lanes([Cp], TN)
+    x = pl.pallas_call(
+        functools.partial(_solve_e0_kernel, F, off),
+        out_shape=jax.ShapeDtypeStruct((F, nt * TN), Cp.dtype),
+        grid=(nt,),
+        in_specs=[pl.BlockSpec((P, TN), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((F, TN), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((F, F, TN), Cp.dtype)]
+        + [pltpu.VMEM((F, TN), Cp.dtype)] * 3,
+        interpret=INTERPRET,
+    )(Cp)
+    return x[:, :n]
+
+
+def _solve_e0_bwd_impl(Cp, x, xbar, F):
+    P = Cp.shape[0]
+    off = _slab_offsets(F)
+    TN = _tile_n(F, P, Cp.dtype.itemsize)
+    (Cp, x, xbar), n, nt = _pad_lanes([Cp, x, xbar], TN)
+    g = pl.pallas_call(
+        functools.partial(_solve_e0_bwd_kernel, F, off),
+        out_shape=jax.ShapeDtypeStruct((P, nt * TN), Cp.dtype),
+        grid=(nt,),
+        in_specs=[pl.BlockSpec((P, TN), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((F, TN), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((F, TN), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((P, TN), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((F, F, TN), Cp.dtype)]
+        + [pltpu.VMEM((F, TN), Cp.dtype)] * 4,
+        interpret=INTERPRET,
+    )(Cp, xbar, x)
+    return g[:, :n]
+
+
+@functools.lru_cache(maxsize=None)
+def _make_solver(F):
+    @jax.custom_vjp
+    def solve(Cp):
+        return _solve_e0_impl(Cp, F)
+
+    def fwd(Cp):
+        x = _solve_e0_impl(Cp, F)
+        return x, (Cp, x)
+
+    def bwd(res, xbar):
+        Cp, x = res
+        return (_solve_e0_bwd_impl(Cp, x, xbar, F),)
+
+    solve.defvjp(fwd, bwd)
+    return solve
+
+
+def packed_solve_e0(Cp, F):
+    """x = C^{-1} e0 for packed batch-last SPD blocks: (P, n) -> (F, n).
+
+    Differentiable in Cp (custom VJP; the backward pass refactors in VMEM).
+    Non-SPD lanes surface as NaN in their own lane only.
+    """
+    return _make_solver(F)(Cp)

@@ -22,12 +22,15 @@ hardware tiles and runs ~2500x slower.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
 from .covariance import _safe_dist
+from .pallas_crout import packed_solve_e0
 
 __all__ = ["u_entries", "build_cov_packed", "crout_solve_e0",
            "packed_pair_dist"]
@@ -77,6 +80,14 @@ def build_cov_packed(locs, NN, valid, cond, nug_point, kernel_fn, covparms,
     """
     mp1 = NN.shape[1]
     iu, ju, _ = _packed_index(mp1)
+    # geometry is parameter-free: never differentiate through the location /
+    # distance gathers (their cotangent scatters materialize O(n * P * d)
+    # intermediates that OOM the grad compile at the n=1e6/m=40 config)
+    if pdist is not None:
+        pdist = jax.lax.stop_gradient(pdist)
+    if nbr_pts is not None:
+        nbr_pts = jax.lax.stop_gradient(nbr_pts)
+    locs = jax.lax.stop_gradient(locs)
     if sel is not None:
         flat_vals, pair_slots = sel
         ps = pair_slots[:, iu, ju]
@@ -227,7 +238,12 @@ def u_entries(locs, NN, valid, cond, nug_point, kernel_fn, covparms,
                           covparms, covmat, sel, pdist=pdist,
                           nbr_pts=nbr_pts)
     if _use_crout():
-        x = crout_solve_e0(Cp, mp1)              # (m+1, n)
+        if os.environ.get("GPV_NO_PALLAS"):
+            x = crout_solve_e0(Cp, mp1)          # XLA fallback (m+1, n)
+        else:
+            # Pallas VMEM-resident factor+solve (kernels/pallas_crout.py):
+            # one HBM read of Cp, one write of x, custom VJP for MLE grads
+            x = packed_solve_e0(Cp, mp1)
         col = (x * jax.lax.rsqrt(x[:1])).T       # (n, m+1)
     else:
         _, _, pk = _packed_index(mp1)

@@ -54,18 +54,27 @@ nuggets = jnp.full((spec.n_obs,), 0.1, DTYPE)
 dt = DTYPE
 
 
+def _sync(out):
+    """True device sync: value readback (block_until_ready is unreliable on
+    the axon runtime — executions whose outputs are never consumed get
+    skipped/queued, so only a float() readback measures honestly)."""
+    leaf = jax.tree.leaves(out)[0]
+    return float(jnp.real(jnp.ravel(leaf)[0]))
+
+
 def timed(name, fn, *args):
     t0 = time.time()
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t1 = time.time()
-    # block on EVERY result: the runtime may skip executions whose outputs
-    # are never consumed, so blocking only the last one under-measures
-    outs = [fn(*args) for _ in range(REPS)]
-    jax.block_until_ready(outs)
-    t2 = time.time()
+    per = []
+    for _ in range(REPS):
+        t = time.time()
+        _sync(fn(*args))
+        per.append(time.time() - t)
+    per_run = sorted(per)[len(per) // 2]
     print(f"{name:16s} compile+1st {t1 - t0:7.1f}s   per-run "
-          f"{(t2 - t1) / REPS * 1e3:8.2f} ms", flush=True)
+          f"{per_run * 1e3:8.2f} ms", flush=True)
     return out
 
 
@@ -74,7 +83,9 @@ def f_u(dev, covparms, nuggets):
     nug_ord = gather(nuggets, dev["ord_z"])
     nug_point = jnp.zeros(plan.n_all, dt).at[dev["obs_points"]].set(nug_ord)
     return u_entries(dev["locs"], dev["NN"], dev["valid"], dev["cond"],
-                     nug_point, kernel_fn, covparms, pdist=dev.get("pdist"))
+                     nug_point, kernel_fn, covparms, pdist=dev.get("pdist"),
+                     nbr_pts=dev.get("nbr_pts"),
+                     row_chunks=plan.compiled.get("u_row_chunks", 1))
 
 
 col = timed("u_entries", f_u, dev, covparms, nuggets)
