@@ -62,6 +62,19 @@ def _device_arrays(plan):
         dev["pdist"] = jax.jit(packed_pair_dist)(dev["locs"], dev["NN"])
     else:
         dev["nbr_pts"] = jax.jit(lambda l, nn: l[nn])(dev["locs"], dev["NN"])
+    if jax.default_backend() == "tpu":
+        # transposed (lane-batch) caches for the fused Pallas covariance
+        # build (kernels/pallas_crout.py fused_matern_solve)
+        fused = dict(NNT=jnp.asarray(plan.NN.T),
+                     vcT=jnp.asarray((plan.valid & ~plan.cond).T),
+                     validT=jnp.asarray(plan.valid.T, dt))
+        if "pdist" in dev:
+            fused["pdistT"] = jax.jit(jnp.transpose)(dev["pdist"])
+        else:
+            fused["ptsT"] = jax.jit(
+                lambda p: jnp.transpose(p, (2, 1, 0)).reshape(
+                    -1, p.shape[0]))(dev["nbr_pts"])
+        dev["fused"] = fused
     # sequential row chunks keep u_entries intermediates ~<1 GB each
     plan.compiled["u_row_chunks"] = max(1, -(-pairs * 4 // 450_000_000))
     if plan.n_lat == 0:
@@ -248,38 +261,74 @@ def _dispatch_covmodel(spec, covmodel, dtype):
     return covmat, sel, kernel_fn
 
 
-def _loglik_core(plan, kernel_fn, covmat, dev, z, covparms, nuggets, sel=None):
-    dt = plan.dtype
-    z = jnp.asarray(z, dt)
-    covparms = jnp.asarray(covparms, dt)
+def _prepare_pack(plan, dev, z, dt):
+    """Parameter-free, data-dependent precomputation (cacheable per z).
 
-    # NA handling by nugget inflation (R/vecchia_likelihood.R:45-58)
+    Carries the NA-filled ordered observations, their 41M-element neighbor
+    gather (the single most expensive XLA op of the eval at n=1e6 — ~330 ms
+    — and constant across the MLE inner loop), and the NaN masks driving
+    the reference's nugget-inflation NA handling
+    (/root/reference/R/vecchia_likelihood.R:45-58)."""
+    z = jnp.asarray(z, dt)
     isnan = jnp.isnan(z)
-    any_nan = jnp.any(isnan)
     zm = jnp.nanmean(z)
     n_ok = jnp.sum(~isnan)
-    zv = jnp.nansum(jnp.where(isnan, 0.0, (z - zm) ** 2)) / jnp.maximum(n_ok - 1, 1)
-    z = jnp.where(isnan, zm, z)
-    nuggets = jnp.where(
-        any_nan,
-        jnp.where(isnan, zv * 1e8,
-                  jnp.broadcast_to(jnp.asarray(nuggets, dt), z.shape)),
-        jnp.broadcast_to(jnp.asarray(nuggets, dt), z.shape))
+    zv = jnp.nansum(jnp.where(isnan, 0.0, (z - zm) ** 2)) / jnp.maximum(
+        n_ok - 1, 1)
+    zf = jnp.where(isnan, zm, z)
+    zord = gather(zf, dev["ord_z"])
+    nan_ord = gather(isnan, dev["ord_z"])
+    pack = dict(zord=zord, znb=zord[dev["nb_obs_pos"]], nan_ord=nan_ord,
+                zv=zv)
+    if "fused" in dev:
+        nan_point = jnp.zeros(plan.n_all, bool).at[dev["obs_points"]].set(
+            nan_ord)
+        pack["nan_nbT"] = nan_point[dev["fused"]["NNT"]]
+    return pack
 
-    nug_ord, nug_point = _nugget_vectors(plan, dev, nuggets, dt)
+
+def _loglik_core(plan, kernel_fn, covmat, dev, z, covparms, nuggets,
+                 sel=None, pack=None):
+    dt = plan.dtype
+    covparms = jnp.asarray(covparms, dt)
+    if pack is None:
+        pack = _prepare_pack(plan, dev, z, dt)
+    nug_in = jnp.asarray(nuggets, dt)
+    scalar_nug = nug_in.ndim == 0
+
+    # NA handling by nugget inflation (R/vecchia_likelihood.R:45-58), on
+    # the ordered axis (nan_ord/zv from the pack)
+    big = pack["zv"] * 1e8
+    if scalar_nug:
+        nug_ord = jnp.where(pack["nan_ord"], big, nug_in)
+    else:
+        nug_vec = jnp.broadcast_to(nug_in, (plan.n_obs,))
+        nug_ord = jnp.where(pack["nan_ord"], big,
+                            gather(nug_vec, dev["ord_z"]))
+    nug_point = jnp.zeros(plan.n_all, dt).at[dev["obs_points"]].set(nug_ord)
+
+    nugT = None
+    if scalar_nug and "fused" in dev:
+        # gather-free transposed neighbor nuggets (mask * scalar, with the
+        # NaN-inflated neighbors from the pack)
+        f = dev["fused"]
+        nugT = jnp.where(f["vcT"],
+                         jnp.where(pack["nan_nbT"], big, nug_in), 0.0)
+
     col = u_entries(dev["locs"], dev["NN"], dev["valid"], dev["cond"],
                     nug_point, kernel_fn, covparms, covmat=covmat, sel=sel,
                     pdist=dev.get("pdist"), nbr_pts=dev.get("nbr_pts"),
-                    row_chunks=plan.compiled.get("u_row_chunks", 1))
+                    row_chunks=plan.compiled.get("u_row_chunks", 1),
+                    fused=dev.get("fused"), nugT=nugT)
 
-    zord = gather(z, dev["ord_z"])
+    zord = pack["zord"]
 
     # z1 over U columns: regression columns gather the values of their
     # known-conditioned neighbors (response-conditioned, or exact/zero-nugget
     # latents, whose own value IS the observation)
     zero_obs = dev["zero_obs"]
     nug_safe = jnp.where(zero_obs, 1.0, nug_ord)
-    znb = zord[dev["nb_obs_pos"]]
+    znb = pack["znb"]
     z1L = jnp.sum(jnp.where(dev["nb_resp"], col * znb, 0.0), axis=1)
     z1L = jnp.where(dev["has_col"], z1L, 0.0)
     z1Z = jnp.where(zero_obs, 0.0, zord / jnp.sqrt(nug_safe))
@@ -382,18 +431,35 @@ def loglik_core(spec, covmodel="matern", dtype=None):
 
 
 def loglik_fn(spec, covmodel="matern", dtype=None):
-    """Compiled loglik(z, covparms, nuggets) for a given spec (cached)."""
+    """Compiled loglik(z, covparms, nuggets) for a given spec (cached).
+
+    The data-dependent, parameter-free precomputation (ordered z, the n x m
+    neighbor-observation gather, NaN masks) is cached per z-array identity:
+    in the MLE/MCMC inner loop z never changes, so repeated evaluations pay
+    only the parameter-dependent work.  Pass `nuggets` as a scalar to also
+    skip the per-eval neighbor-nugget gather (it becomes mask * scalar).
+    """
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     plan = get_plan(spec, dtype)
     key = ("loglik", str(covmodel), np.dtype(dtype).name)
     if key in plan.compiled:
         return plan.compiled[key]
-    core, dev = loglik_core(spec, covmodel, dtype)
-    _fn = jax.jit(core)
+    covmat, sel, kernel_fn = _dispatch_covmodel(spec, covmodel, dtype)
+    dev = _device_arrays(plan)
+
+    _prep = jax.jit(lambda dev, z: _prepare_pack(plan, dev, z, dtype))
+    _eval = jax.jit(lambda dev, pack, covparms, nuggets: _loglik_core(
+        plan, kernel_fn, covmat, dev, None, covparms, nuggets, sel=sel,
+        pack=pack))
+    zcache = {}
 
     def fn(z, covparms, nuggets):
-        return _fn(dev, z, covparms, nuggets)
+        if zcache.get("id") != id(z):
+            zcache["id"] = id(z)
+            zcache["ref"] = z            # pin the array so the id is stable
+            zcache["pack"] = _prep(dev, z)
+        return _eval(dev, zcache["pack"], covparms, nuggets)
 
     plan.compiled[key] = fn
     return fn
@@ -409,9 +475,10 @@ def vecchia_likelihood(z, spec, covparms, nuggets, covmodel="matern"):
         import warnings
         warnings.warn("cond.yz='zy' will produce a poor likelihood "
                       "approximation. Use 'SGV' instead.")
-    nuggets = np.broadcast_to(np.asarray(nuggets, dtype=np.float64),
-                              (spec.n_obs,))
-    spec = zero_nugget_variant(spec, nuggets)
+    nug = np.asarray(nuggets, dtype=np.float64)
+    spec = zero_nugget_variant(spec, np.broadcast_to(nug, (spec.n_obs,)))
+    if nug.ndim > 0:
+        nug = np.broadcast_to(nug, (spec.n_obs,))
     fn = loglik_fn(spec, covmodel)
-    return float(fn(np.asarray(z, np.float64), np.asarray(covparms, np.float64),
-                    nuggets))
+    return float(fn(np.asarray(z, np.float64),
+                    np.asarray(covparms, np.float64), nug))

@@ -201,3 +201,163 @@ def packed_solve_e0(Cp, F):
     Non-SPD lanes surface as NaN in their own lane only.
     """
     return _make_solver(F)(Cp)
+
+# --------------------------------------------------------------------------
+# fused covariance-build + factor + solve (closed-form Matern fast path)
+# --------------------------------------------------------------------------
+
+_SQRT3 = 1.7320508075688772
+_SQRT5 = 2.2360679774997896
+
+
+def _cov_slab(dist, sig2, rho, idxf):
+    """Closed-form Matern on a distance slab; all three branches computed
+    elementwise and selected by idxf (0/1/2) — Mosaic-friendly (no control
+    flow), and the extra exps are noise next to the factorization."""
+    pos = dist > 0.0
+    s = jnp.where(pos, dist, 1.0) / rho
+    c05 = jnp.exp(-s)
+    c15 = (1.0 + _SQRT3 * s) * jnp.exp(-_SQRT3 * s)
+    c25 = (1.0 + _SQRT5 * s + 5.0 / 3.0 * s * s) * jnp.exp(-_SQRT5 * s)
+    c = jnp.where(idxf < 0.5, c05, jnp.where(idxf < 1.5, c15, c25))
+    return sig2 * jnp.where(pos, c, 1.0)
+
+
+def _build_cov_vmem(F, d, off, use_pd, geo_ref, nugT_ref, validT_ref,
+                    par_ref, CP):
+    """Fill the packed-covariance scratch CP (P, TN) from transposed
+    geometry blocks, one row-slab at a time (slab i = packed rows
+    [off_i, off_i + F - i) = conditioning pairs (i, j >= i))."""
+    sig2 = par_ref[0, 0]
+    rho = par_ref[0, 1]
+    idxf = par_ref[0, 2]
+    for i in range(F):
+        L = F - i
+        if use_pd:
+            dist = geo_ref[off[i]:off[i] + L, :]
+        else:
+            acc = None
+            for dd in range(d):
+                base = dd * F
+                diff = (geo_ref[base + i:base + F, :]
+                        - geo_ref[base + i:base + i + 1, :])
+                acc = diff * diff if acc is None else acc + diff * diff
+            pos = acc > 0.0
+            dist = jnp.where(pos, jnp.sqrt(jnp.where(pos, acc, 1.0)), 0.0)
+        cov = _cov_slab(dist, sig2, rho, idxf)
+        rows0 = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0) == 0
+        # response-conditioned neighbors' nugget on the diagonal slot (the
+        # first row of the slab), then identity-extension of invalid pairs
+        cov = cov + jnp.where(rows0, nugT_ref[i:i + 1, :], 0.0)
+        vslab = validT_ref[i:F, :] * validT_ref[i:i + 1, :]
+        cov = jnp.where(vslab > 0.0, cov,
+                        jnp.where(rows0, 1.0, 0.0).astype(cov.dtype))
+        CP[off[i]:off[i] + L, :] = cov
+
+
+def _fused_kernel(F, d, off, use_pd, geo_ref, nugT_ref, validT_ref, par_ref,
+                  x_ref, CP, CL, bv, yv, dinv):
+    _build_cov_vmem(F, d, off, use_pd, geo_ref, nugT_ref, validT_ref,
+                    par_ref, CP)
+    rows = jax.lax.broadcasted_iota(jnp.int32, bv.shape, 0)
+    bv[:] = jnp.where(rows == 0, 1.0, 0.0).astype(bv.dtype)
+    _unpack_factor_forward(F, off, CP, CL, bv, yv, dinv)
+    _backward_subst(F, CL, yv, dinv, x_ref)
+
+
+def _fused_impl(geoT, nugT, validT, par, F, d, use_pd):
+    P = F * (F + 1) // 2
+    off = _slab_offsets(F)
+    TN = _tile_n(F, P + (P if use_pd else d * F) + 2 * F, 4)
+    (geoT, nugT, validT), n, nt = _pad_lanes([geoT, nugT, validT], TN)
+    G = geoT.shape[0]
+    x = pl.pallas_call(
+        functools.partial(_fused_kernel, F, d, off, use_pd),
+        out_shape=jax.ShapeDtypeStruct((F, nt * TN), nugT.dtype),
+        grid=(nt,),
+        in_specs=[pl.BlockSpec((G, TN), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((F, TN), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((F, TN), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((F, TN), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((P, TN), nugT.dtype),
+                        pltpu.VMEM((F, F, TN), nugT.dtype)]
+        + [pltpu.VMEM((F, TN), nugT.dtype)] * 3,
+        interpret=INTERPRET,
+    )(geoT, nugT, validT, par)
+    return x[:, :n]
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused_solver(F, d, use_pd):
+    @jax.custom_vjp
+    def solve(covparms, nugT, geoT, validT, aux_geo):
+        par = jnp.stack([covparms[0], covparms[1],
+                         _nu_idx(covparms[2]).astype(covparms.dtype)]
+                        )[None, :]
+        return _fused_impl(geoT, nugT, validT, par, F, d, use_pd)
+
+    def fwd(covparms, nugT, geoT, validT, aux_geo):
+        x = solve(covparms, nugT, geoT, validT, aux_geo)
+        return x, (covparms, nugT, x, validT, aux_geo)
+
+    def bwd(res, xbar):
+        covparms, nugT, x, validT, aux_geo = res
+
+        def rebuild(cp, ng):
+            return _rebuild_cp(cp, ng, validT, aux_geo, F, d, use_pd)
+
+        Cp, vjp_fn = jax.vjp(rebuild, covparms, nugT)
+        dCp = _solve_e0_bwd_impl(Cp, x, xbar, F)
+        dcov, dnug = vjp_fn(dCp)
+        return dcov, dnug, None, None, None
+
+    solve.defvjp(fwd, bwd)
+    return solve
+
+
+def _rebuild_cp(covparms, nugT, validT, aux_geo, F, d, use_pd):
+    """XLA re-derivation of the packed covariance (P, n) for the fused
+    kernel's backward pass (identical math to the in-VMEM build)."""
+    from .covariance import _safe_dist, matern
+    from .u_entries import _packed_index
+    iu, ju, _ = _packed_index(F)
+    if use_pd:
+        dist = aux_geo                      # (n, P) packed distances
+    else:
+        pts = aux_geo                       # (n, F, d)
+        diff = pts[:, iu, :] - pts[:, ju, :]
+        dist = _safe_dist(jnp.sum(diff * diff, axis=-1))
+    Cp = matern(dist, covparms)             # (n, P)
+    dmask = jnp.asarray(iu == ju)
+    Cp = Cp + jnp.where(dmask[None, :], nugT.T[:, iu], 0.0)
+    validN = validT.T > 0
+    vv = validN[:, iu] & validN[:, ju]
+    Cp = jnp.where(vv, Cp, dmask[None, :].astype(Cp.dtype))
+    return Cp.T                             # (P, n)
+
+
+def fused_matern_solve(covparms, nugT, geoT, validT, aux_geo, F, d, use_pd):
+    """x = C(theta)^{-1} e0 with the conditioning covariance built in VMEM.
+
+    geoT: (d*F, n) transposed neighbor coordinates (use_pd=False) or (P, n)
+    transposed packed distances (use_pd=True) — parameter-free, cached.
+    aux_geo: the same geometry in row-major orientation for the backward
+    rebuild ((n, F, d) points or (n, P) distances).  nugT: (F, n) masked
+    response-conditioned neighbor nuggets.  validT: (F, n) 0/1 mask.
+    covparms: (>=3,) [sig2, rho, nu] with nu a closed form (the caller
+    dispatches general nu to the XLA path).  Differentiable in covparms and
+    nugT; the VJP rebuilds the packed covariance in XLA and reuses the
+    packed backward kernel.
+    """
+    return _make_fused_solver(F, d, use_pd)(covparms, nugT, geoT, validT,
+                                            aux_geo)
+
+
+def _nu_idx(nu):
+    return jnp.where(nu == 0.5, 0, jnp.where(nu == 1.5, 1,
+                     jnp.where(nu == 2.5, 2, 3)))

@@ -29,8 +29,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .covariance import _safe_dist
-from .pallas_crout import packed_solve_e0
+from .covariance import _safe_dist, matern
+from .pallas_crout import _nu_idx, fused_matern_solve, packed_solve_e0
 
 __all__ = ["u_entries", "build_cov_packed", "crout_solve_e0",
            "packed_pair_dist"]
@@ -194,15 +194,82 @@ def _use_crout():
     return jax.default_backend() == "tpu"
 
 
+def _postprocess(col, valid):
+    """Per-row numerical-failure handling: a non-SPD conditioning matrix
+    poisons its row with NaN/Inf — replace with e0 (zero quadform terms,
+    zero logdet contribution) and report a count off-TPU, like the
+    reference's per-row try/catch
+    (/root/reference/src/U_NZentries.cpp:60-66); then zero padded slots."""
+    mp1 = col.shape[1]
+    bad = ~jnp.all(jnp.isfinite(col), axis=1)
+    if jax.default_backend() != "tpu":
+        nbad = jnp.sum(bad)
+        jax.lax.cond(nbad > 0,
+                     lambda c: jax.debug.print(
+                         "u_entries: Cholesky failed for {} row(s); dropped "
+                         "(non-SPD conditioning covariance)", c),
+                     lambda c: None, nbad)
+    e0row = jnp.zeros((1, mp1), col.dtype).at[0, 0].set(1.0)
+    col = jnp.where(bad[:, None], e0row, col)
+    return jnp.where(valid, col, 0.0)
+
+
 def u_entries(locs, NN, valid, cond, nug_point, kernel_fn, covparms,
-              covmat=None, sel=None, pdist=None, nbr_pts=None, row_chunks=1):
+              covmat=None, sel=None, pdist=None, nbr_pts=None, row_chunks=1,
+              fused=None, nugT=None):
     """U-column coefficients (n, m+1), aligned with NNarray (self first).
 
     row_chunks > 1 processes the rows in that many sequential chunks
     (lax.map) so the (n, (m+1)(m+2)/2) covariance intermediates never
     materialize at once — required to fit large-n problems in HBM (the
     n=1e6, m=40 north-star needs ~3.3 GB per live intermediate otherwise).
+
+    fused: optional dict of transposed parameter-free geometry caches
+    ({pdistT|ptsT, NNT, vcT, validT}) enabling the all-in-VMEM Pallas path
+    (pallas_crout.fused_matern_solve) for the built-in Matern on TPU: the
+    packed covariance never materializes in HBM.  General smoothness
+    dispatches back to the XLA build at runtime (lax.cond).
     """
+    mp1 = NN.shape[1]
+    if (fused is not None and _use_crout() and covmat is None and sel is None
+            and kernel_fn is matern
+            and not os.environ.get("GPV_NO_PALLAS")):
+        dt = nug_point.dtype
+        covparms = jnp.asarray(covparms, dt)
+        if nugT is None:
+            # vector-nugget fallback: a 41M-element transposed gather costs
+            # ~350 ms at n=1e6 — callers with scalar nuggets pass nugT
+            # (mask * scalar, gather-free) instead
+            nugT = jnp.where(fused["vcT"], nug_point[fused["NNT"]],
+                             0.0).astype(dt)
+        use_pd = "pdistT" in fused
+        geoT = fused["pdistT"] if use_pd else fused["ptsT"]
+        aux_geo = pdist if use_pd else (
+            nbr_pts if nbr_pts is not None else locs[NN])
+        d = locs.shape[1]
+
+        def _fused():
+            x = fused_matern_solve(covparms, nugT, geoT, fused["validT"],
+                                   jax.lax.stop_gradient(aux_geo),
+                                   mp1, d, use_pd)
+            return (x * jax.lax.rsqrt(x[:1])).T
+
+        def _xla():
+            return _u_entries_col(locs, NN, valid, cond, nug_point,
+                                  kernel_fn, covparms, covmat, sel, pdist,
+                                  nbr_pts, row_chunks)
+
+        col = jax.lax.cond(_nu_idx(covparms[2]) < 3, _fused, _xla)
+        return _postprocess(col, valid)
+    col = _u_entries_col(locs, NN, valid, cond, nug_point, kernel_fn,
+                         covparms, covmat, sel, pdist, nbr_pts, row_chunks)
+    return _postprocess(col, valid)
+
+
+def _u_entries_col(locs, NN, valid, cond, nug_point, kernel_fn, covparms,
+                   covmat=None, sel=None, pdist=None, nbr_pts=None,
+                   row_chunks=1):
+    """Raw (pre-masking) U columns via the XLA covariance build."""
     mp1 = NN.shape[1]
     n = NN.shape[0]
     if row_chunks > 1 and covmat is None and sel is not None:
@@ -227,10 +294,10 @@ def u_entries(locs, NN, valid, cond, nug_point, kernel_fn, covparms,
             stacked["nbr_pts"] = padrow(pts, 0.0)
 
         def body(ch):
-            return u_entries(locs, ch["NN"], ch["valid"], ch["cond"],
-                             nug_point, kernel_fn, covparms,
-                             pdist=ch.get("pdist"),
-                             nbr_pts=ch.get("nbr_pts"))
+            return _u_entries_col(locs, ch["NN"], ch["valid"], ch["cond"],
+                                  nug_point, kernel_fn, covparms,
+                                  pdist=ch.get("pdist"),
+                                  nbr_pts=ch.get("nbr_pts"))
 
         col = jax.lax.map(body, stacked)
         return col.reshape(-1, mp1)[:n]
@@ -254,22 +321,7 @@ def u_entries(locs, NN, valid, cond, nug_point, kernel_fn, covparms,
         chol = jnp.linalg.cholesky(C)
         x = jax.scipy.linalg.cho_solve((chol, True), e0[..., None])[..., 0]
         col = x / jnp.sqrt(x[:, :1])
-    # per-row numerical-failure handling: a non-SPD conditioning matrix
-    # poisons its row with NaN/Inf — zero it and report a count, like the
-    # reference's per-row try/catch (/root/reference/src/U_NZentries.cpp:60-66)
-    bad = ~jnp.all(jnp.isfinite(col), axis=1)
-    if jax.default_backend() != "tpu":
-        # host callback (unsupported on the TPU plugin backend): report the
-        # failure count like the reference's per-row stderr print
-        nbad = jnp.sum(bad)
-        jax.lax.cond(nbad > 0,
-                     lambda c: jax.debug.print(
-                         "u_entries: Cholesky failed for {} row(s); dropped "
-                         "(non-SPD conditioning covariance)", c),
-                     lambda c: None, nbad)
-    # drop the failed row's contribution cleanly: off-diagonals 0, diagonal 1
-    # (zero quadform terms, zero logdet contribution) so the likelihood stays
-    # finite and the printed count is the failure signal
-    e0row = jnp.zeros((1, mp1), col.dtype).at[0, 0].set(1.0)
-    col = jnp.where(bad[:, None], e0row, col)
-    return jnp.where(valid, col, 0.0)
+    # per-row numerical-failure handling (non-SPD conditioning covariance)
+    # and padding masks are applied by _postprocess in u_entries; chunked
+    # recursion comes back through here so masking happens exactly once
+    return col

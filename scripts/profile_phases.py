@@ -85,7 +85,8 @@ def f_u(dev, covparms, nuggets):
     return u_entries(dev["locs"], dev["NN"], dev["valid"], dev["cond"],
                      nug_point, kernel_fn, covparms, pdist=dev.get("pdist"),
                      nbr_pts=dev.get("nbr_pts"),
-                     row_chunks=plan.compiled.get("u_row_chunks", 1))
+                     row_chunks=plan.compiled.get("u_row_chunks", 1),
+                     fused=dev.get("fused"))
 
 
 col = timed("u_entries", f_u, dev, covparms, nuggets)
