@@ -2,11 +2,14 @@
 """Benchmark: Vecchia loglikelihood throughput on TPU.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-Config via env: BENCH_N (default 1000000), BENCH_M (40), BENCH_COND (SGV),
-BENCH_EVALS (8) — the BASELINE.json north-star configuration.  The
-parameter-free spec is cached on disk across runs (BENCH_SPEC_CACHE).
+Headline metric: the BASELINE.json north-star config (n=1e6, m=40, SGV)
+loglik evals/s on one chip.  Extras carry the n=1e5/m=20 config and a
+gradient-eval timing at n=1e5 (the MLE inner loop) so regressions in either
+are visible every round.  Set BENCH_SMALL_ONLY=1 to skip the big config.
+
+The parameter-free spec is cached on disk across runs (BENCH_SPEC_CACHE).
 
 vs_baseline models the reference's OpenMP C++/R pipeline on a 16-core CPU
 (the reference publishes no numbers, BASELINE.md): per likelihood
@@ -37,16 +40,17 @@ def modeled_reference_seconds(n, m, w_nnz):
 def unfilled_w_nnz(plan):
     """nnz of the lower triangle of W = U_y U_y^T (pre-fill), for the cost
     model of the reference's sequential sparse Cholesky (an underestimate of
-    its work, which also carries fill — deliberately conservative)."""
-    import numpy as np
+    its work, which also carries fill — deliberately conservative).  Cached
+    on disk (it costs ~60 s of chunked np.unique at n=1e6)."""
+    cache = f"/tmp/gpv_wnnz_{plan.n_all}_{plan.NN.shape[1]}.txt"
+    if os.path.exists(cache):
+        return int(open(cache).read())
     NN = plan.NN.astype(np.int64)
     lr = plan.latent_rank.astype(np.int64)
     verts = np.where(plan.cond, lr[NN], -1)
     mp1 = verts.shape[1]
     iu, ju = np.triu_indices(mp1)
     uniq = np.empty(0, np.int64)
-    # chunked unique (a single sort of n*(m+1)(m+2)/2 int64 keys costs
-    # minutes and ~7 GB at the n=1e6/m=40 config)
     step = max(1, 30_000_000 // iu.size)
     for s0 in range(0, verts.shape[0], step):
         v = verts[s0:s0 + step]
@@ -55,27 +59,18 @@ def unfilled_w_nnz(plan):
         ok = (a >= 0) & (b >= 0)
         keys = np.maximum(a[ok], b[ok]) * plan.n_lat + np.minimum(a[ok], b[ok])
         uniq = np.union1d(uniq, keys)
+    with open(cache, "w") as f:
+        f.write(str(int(uniq.size)))
     return int(uniq.size)
 
 
-def main():
-    n = int(os.environ.get("BENCH_N", 1_000_000))
-    m = int(os.environ.get("BENCH_M", 40))
-    cond = os.environ.get("BENCH_COND", "SGV")
-    n_evals = int(os.environ.get("BENCH_EVALS", 8))
-
-    t_start = time.time()
+def run_config(n, m, cond, n_evals, dtype, with_grad=False):
     import jax
     import jax.numpy as jnp
 
     from gpvecchia_tpu import vecchia_specify
-    from gpvecchia_tpu.inference.likelihood import loglik_fn
+    from gpvecchia_tpu.inference.likelihood import loglik_core, loglik_fn
     from gpvecchia_tpu.plan import get_plan
-
-    dtype = jnp.float32
-    platform = jax.devices()[0].platform
-    print(f"[bench] backend={platform} n={n} m={m} cond={cond}",
-          file=sys.stderr)
 
     rng = np.random.default_rng(1988)
     locs = rng.uniform(size=(n, 2))
@@ -95,59 +90,102 @@ def main():
     plan = get_plan(spec, dtype)
     w_nnz = unfilled_w_nnz(plan)
     t2 = time.time()
-    print(f"[bench] spec {t1 - t0:.1f}s plan {t2 - t1:.1f}s "
+    print(f"[bench] n={n} spec {t1 - t0:.1f}s plan {t2 - t1:.1f}s "
           f"w_nnz={w_nnz} use_mf={plan.use_mf}", file=sys.stderr)
 
     fn = loglik_fn(spec, "matern", dtype=dtype)
     z = jnp.asarray(rng.normal(size=n), dtype)
-    nuggets = jnp.full((n,), 0.1, dtype)
+    nug = dtype(0.1)
     covparms0 = np.array([1.0, 0.2, 0.5])
 
     t3 = time.time()
-    out = fn(z, jnp.asarray(covparms0, dtype), nuggets)
-    out.block_until_ready()
+    out = float(fn(z, jnp.asarray(covparms0, dtype), nug))
     t4 = time.time()
-    print(f"[bench] compile+first eval {t4 - t3:.1f}s  loglik={float(out):.2f}",
+    print(f"[bench] compile+first eval {t4 - t3:.1f}s loglik={out:.2f}",
           file=sys.stderr)
 
-    # steady state: vary variance/range so nothing can be constant-folded.
-    # Smoothness stays at 0.5: moving it off a half-integer switches the
-    # Matern to the general Bessel-K path (a capability the reference shares
-    # via Boost, but its cost model above assumes closed-form kernels).
+    # steady state: vary variance/range so nothing constant-folds (nu stays
+    # 0.5: off half-integers the general Bessel path engages, which the
+    # reference cost model's closed forms don't cover)
     scale = np.ones((n_evals, 3))
     scale[:, 0] = 1.0 + 0.01 * np.arange(n_evals)
     scale[:, 1] = 1.0 + 0.005 * np.arange(n_evals)
     params = [jnp.asarray(covparms0 * scale[k], dtype)
               for k in range(n_evals)]
     for p in params[:2]:
-        fn(z, p, nuggets).block_until_ready()
-    # synchronous per-eval with value readback (the MLE inner loop is
-    # sequential and consumes the value; on this runtime queued/pipelined
-    # dispatch is also ~3x slower per eval than serial sync, so this is both
-    # the honest and the faster pattern)
+        float(fn(z, p, nug))
+    # synchronous per-eval with value readback: the MLE inner loop consumes
+    # each value, and queued dispatch is ~3x slower per eval on this runtime
     lats = []
     for p in params:
         t0 = time.time()
-        float(fn(z, p, nuggets))
+        float(fn(z, p, nug))
         lats.append(time.time() - t0)
-    lat_med = sorted(lats)[len(lats) // 2]
-    print(f"[bench] sync latencies ms: "
-          f"{' '.join(f'{t * 1e3:.1f}' for t in sorted(lats)[:8])} ... "
-          f"max {max(lats) * 1e3:.1f}", file=sys.stderr)
-    per_eval = lat_med
-    evals_per_sec = 1.0 / per_eval
+    per_eval = sorted(lats)[len(lats) // 2]
+    print(f"[bench] n={n} sync ms: "
+          f"{' '.join(f'{t * 1e3:.1f}' for t in sorted(lats)[:8])}",
+          file=sys.stderr)
 
-    ref_sec = modeled_reference_seconds(n, m, w_nnz)
-    vs_baseline = ref_sec / per_eval
-    print(f"[bench] per-eval {per_eval * 1000:.2f} ms; modeled reference "
-          f"{ref_sec * 1000:.1f} ms; total bench {time.time() - t_start:.0f}s",
+    res = dict(per_eval=per_eval, compile_s=t4 - t3, spec_s=t1 - t0,
+               plan_s=t2 - t1,
+               ref_sec=modeled_reference_seconds(n, m, w_nnz))
+
+    if with_grad:
+        core, dev = loglik_core(spec, "matern", dtype)
+        gfn = jax.jit(jax.value_and_grad(
+            lambda d, z, c, g: core(d, z, c, g), argnums=2))
+        t0 = time.time()
+        v, g = gfn(dev, z, params[0], jnp.full((n,), 0.1, dtype))
+        float(v)
+        t1 = time.time()
+        glats = []
+        for p in params[:4]:
+            t0 = time.time()
+            v, g = gfn(dev, z, p, jnp.full((n,), 0.1, dtype))
+            float(v), np.asarray(g)
+            glats.append(time.time() - t0)
+        res["grad_eval"] = sorted(glats)[len(glats) // 2]
+        res["grad_compile_s"] = t1 - t0
+        print(f"[bench] n={n} grad/eval {res['grad_eval']*1e3:.1f} ms",
+              file=sys.stderr)
+    return res
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    dtype = jnp.float32
+    platform = jax.devices()[0].platform
+    print(f"[bench] backend={platform}", file=sys.stderr)
+    t_start = time.time()
+
+    small = run_config(100_000, 20, "SGV", 10, dtype, with_grad=True)
+    if os.environ.get("BENCH_SMALL_ONLY"):
+        big = small
+        n, m = 100_000, 20
+    else:
+        n, m = 1_000_000, 40
+        big = run_config(n, m, "SGV", int(os.environ.get("BENCH_EVALS", 6)),
+                         dtype)
+
+    vs_big = big["ref_sec"] / big["per_eval"]
+    vs_small = small["ref_sec"] / small["per_eval"]
+    print(f"[bench] total {time.time() - t_start:.0f}s; "
+          f"big {big['per_eval']*1e3:.1f} ms (x{vs_big:.2f}); "
+          f"small {small['per_eval']*1e3:.1f} ms (x{vs_small:.2f})",
           file=sys.stderr)
 
     print(json.dumps({
-        "metric": f"vecchia_loglik_evals_per_sec_n{n}_m{m}_{cond}",
-        "value": round(evals_per_sec, 3),
+        "metric": f"vecchia_loglik_evals_per_sec_n{n}_m{m}_SGV",
+        "value": round(1.0 / big["per_eval"], 3),
         "unit": "evals/s",
-        "vs_baseline": round(vs_baseline, 2),
+        "vs_baseline": round(vs_big, 2),
+        "small_n1e5_m20_ms": round(small["per_eval"] * 1e3, 2),
+        "small_vs_baseline": round(vs_small, 2),
+        "small_grad_ms": round(small.get("grad_eval", float("nan")) * 1e3, 2),
+        "big_compile_s": round(big["compile_s"], 1),
+        "big_plan_s": round(big["plan_s"], 1),
     }))
 
 

@@ -73,31 +73,42 @@ def _nuts_transition(logpost_fn, grad_fn, key, theta0, eps, inv_mass,
         n_leap = 2 ** depth  # static per unrolled doubling
 
         def leap_body(i, c):
-            th, r, log_w_sub, prop_sub, key_s, sum_a, n_a, div = c
+            (th, r, log_w_sub, prop_sub, key_s, sum_a, n_a, bad,
+             th_s, r_s) = c
             eps_d = jnp.where(go_right, eps, -eps)
             th, r = _leapfrog(grad_fn, th, r, eps_d, inv_mass)
             joint = logpost_fn(th) - _kinetic(r, inv_mass)
             delta = joint - joint0
-            div = div | (delta < -1000.0) | jnp.isnan(delta)
+            bad = bad | (delta < -1000.0) | jnp.isnan(delta)
+            # subtree-internal U-turn check against the subtree's start
+            # state (an invalid subtree must be rejected wholesale — merging
+            # it anyway overdisperses the chain; caught by the calibration
+            # test on a known Gaussian target)
+            dth = (th - th_s) * jnp.where(go_right, 1.0, -1.0)
+            bad = bad | (jnp.dot(dth, inv_mass * r) < 0) \
+                      | (jnp.dot(dth, inv_mass * r_s) < 0)
             # progressive multinomial within the new subtree
             log_w_new = jnp.logaddexp(log_w_sub, delta)
             key_s, ku = jax.random.split(key_s)
             take = jnp.log(jax.random.uniform(ku, dtype=dt)) < delta - log_w_new
-            prop_sub = jnp.where(take & ~div, th, prop_sub)
+            prop_sub = jnp.where(take & ~bad, th, prop_sub)
             sum_a = sum_a + jnp.minimum(jnp.exp(delta), 1.0)
-            return th, r, log_w_new, prop_sub, key_s, sum_a, n_a + 1, div
+            return (th, r, log_w_new, prop_sub, key_s, sum_a, n_a + 1, bad,
+                    th_s, r_s)
 
         th_start = jnp.where(go_right, tp, tm)
         r_start = jnp.where(go_right, rp, rm)
         key, ksub = jax.random.split(key)
         init = (th_start, r_start, jnp.asarray(-jnp.inf, dt), th_start, ksub,
                 jnp.asarray(0.0, dt), jnp.asarray(0, jnp.int32),
-                jnp.asarray(False))
-        th_e, r_e, log_w_sub, prop_sub, _, sum_a, n_a, div = jax.lax.fori_loop(
-            0, n_leap, leap_body, init)
+                jnp.asarray(False), th_start, r_start)
+        (th_e, r_e, log_w_sub, prop_sub, _, sum_a, n_a, div, _,
+         _) = jax.lax.fori_loop(0, n_leap, leap_body, init)
 
-        # merge subtree into trajectory (biased progressive sampling)
-        log_sum_w_new = jnp.logaddexp(log_sum_w, log_w_sub)
+        # merge subtree into trajectory (biased progressive sampling); an
+        # internally-invalid subtree contributes neither weight nor proposal
+        log_sum_w_new = jnp.where(div, log_sum_w,
+                                  jnp.logaddexp(log_sum_w, log_w_sub))
         take_sub = (jnp.log(jax.random.uniform(ksel, dtype=dt))
                     < log_w_sub - log_sum_w)
         prop_new = jnp.where(take_sub & ~div, prop_sub, prop)

@@ -309,8 +309,11 @@ def vecchia_laplace_likelihood_from_posterior(z, post, spec, covparms,
 
     if spec_iw is None:
         spec_iw = spec
-        if spec.cond_yz == "zy":
-            # interweaved re-specification on the observed locations
+        if spec.cond_yz in ("zy", "RVP", "LK"):
+            # interweaved re-specification on the observed locations; the
+            # reference collapses RVP/LK into cond.yz='zy'
+            # (/root/reference/R/vecchia_specify.R:224), so its IW rewrite
+            # (R/vecchia_laplace_NR.R:390-395) fires for all three
             from ..spec import vecchia_specify
             locs = np.empty((spec.n_obs, spec.locsord.shape[1]))
             locs[spec.ord_z] = spec.locsord[:spec.n_obs]

@@ -9,6 +9,7 @@ whole computation is differentiable in the covariance parameters and nuggets.
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -218,13 +219,17 @@ def _mf_denominator(plan, dev, col, z1L, zord, nug_ord, dt, rhs=True):
     vo = dev["vert_obs"]
     obs_v = vo >= 0
     voc = jnp.clip(vo, 0)
-    dvec = jnp.where(obs_v, 1.0 / gather(nug_ord, voc), 0.0)
+    # gather a SAFE nugget first: unobserved latent vertices clamp to obs
+    # position 0, and if that observation has a zero nugget the untaken
+    # division branch would poison gradients with NaN (value is fine)
+    nug_v = jnp.where(obs_v, gather(nug_ord, voc), 1.0)
+    dvec = jnp.where(obs_v, 1.0 / nug_v, 0.0)
     u_elem = jnp.where(dev["cond"], col, 0.0)
     kw = {}
     if rhs:
         kw = dict(rhs_elem=z1L,
                   rhs_vert=jnp.where(obs_v,
-                                     -gather(zord, voc) / gather(nug_ord, voc),
+                                     -gather(zord, voc) / nug_v,
                                      0.0))
     # bound the leaf-assembly intermediate to ~0.8 GB (power-of-two chunks)
     leaf = dev["mf"]["levels"][-1]
@@ -288,7 +293,7 @@ def _prepare_pack(plan, dev, z, dt):
 
 
 def _loglik_core(plan, kernel_fn, covmat, dev, z, covparms, nuggets,
-                 sel=None, pack=None):
+                 sel=None, pack=None, with_aux=False):
     dt = plan.dtype
     covparms = jnp.asarray(covparms, dt)
     if pack is None:
@@ -315,11 +320,12 @@ def _loglik_core(plan, kernel_fn, covmat, dev, z, covparms, nuggets,
         nugT = jnp.where(f["vcT"],
                          jnp.where(pack["nan_nbT"], big, nug_in), 0.0)
 
-    col = u_entries(dev["locs"], dev["NN"], dev["valid"], dev["cond"],
-                    nug_point, kernel_fn, covparms, covmat=covmat, sel=sel,
-                    pdist=dev.get("pdist"), nbr_pts=dev.get("nbr_pts"),
-                    row_chunks=plan.compiled.get("u_row_chunks", 1),
-                    fused=dev.get("fused"), nugT=nugT)
+    col, bad = u_entries(dev["locs"], dev["NN"], dev["valid"], dev["cond"],
+                         nug_point, kernel_fn, covparms, covmat=covmat,
+                         sel=sel, pdist=dev.get("pdist"),
+                         nbr_pts=dev.get("nbr_pts"),
+                         row_chunks=plan.compiled.get("u_row_chunks", 1),
+                         fused=dev.get("fused"), nugT=nugT)
 
     zord = pack["zord"]
 
@@ -339,6 +345,11 @@ def _loglik_core(plan, kernel_fn, covmat, dev, z, covparms, nuggets,
         col_mask, col[:, 0], 1.0)), 0.0))
         + jnp.sum(jnp.where(zero_obs, 0.0, jnp.log(nug_safe))))
 
+    # dropped (non-SPD) rows contribute NOTHING to W = U_y U_y^T — the e0
+    # stand-in in `col` keeps the numerator terms neutral, but its unit
+    # element would otherwise add +1 to W's diagonal at that vertex
+    col_w = jnp.where(bad[:, None], 0.0, col)
+
     if plan.n_lat == 0:
         # all observations exact (every latent known): no denominator
         quad_denom = jnp.zeros((), dt)
@@ -348,19 +359,19 @@ def _loglik_core(plan, kernel_fn, covmat, dev, z, covparms, nuggets,
         # quad = z2^T W^{-1} z2 with z2 = U_y z1 assembled per-leaf inside
         # the tree (rhs_elem = z1L weights, rhs_vert = -zord/nugget at each
         # observed vertex), logdet(W) from the factor diagonals
-        fac = _mf_denominator(plan, dev, col, z1L, zord, nug_ord, dt)
+        fac = _mf_denominator(plan, dev, col_w, z1L, zord, nug_ord, dt)
         quad_denom = fac["quad"]
         logdet_denom = -fac["logdet"]
     else:
         # z2 = U_y z1 over latent rows, as a gather-based pair reduction:
         # z2[r] = sum col[p,a]*z1L[p] over in-edges, minus z1Z/sqrt(nug) at
         # the point's own latent row (schedule built in plan.py)
-        ucat_z = jnp.concatenate([col.ravel(), jnp.ones(1, dt)])
+        ucat_z = jnp.concatenate([col_w.ravel(), jnp.ones(1, dt)])
         zcat = jnp.concatenate([z1L, -z1Z / jnp.sqrt(nug_ord)])
         z2 = pair_sum(ucat_z, zcat, dev["z2_sched"], dt)
 
         # denominator through V
-        v_flat = compute_v_factor(plan, dev, col, nug_ord, dt)
+        v_flat = compute_v_factor(plan, dev, col_w, nug_ord, dt)
         z2rev = z2[::-1]
         z3 = forward_solve(v_flat, z2rev, dev["fwd"], x_size=plan.fwd_x_size)
         quad_denom = jnp.sum(z3 * z3)
@@ -369,7 +380,10 @@ def _loglik_core(plan, kernel_fn, covmat, dev, z, covparms, nuggets,
 
     const = plan.n_obs * math.log(2.0 * math.pi)
     neg2 = logdet_num - logdet_denom + quad_num - quad_denom + const
-    return -0.5 * neg2
+    ll = -0.5 * neg2
+    if with_aux:
+        return ll, {"n_dropped_rows": jnp.sum(bad)}
+    return ll
 
 
 def zero_nugget_variant(spec, nuggets):
@@ -430,8 +444,14 @@ def loglik_core(spec, covmodel="matern", dtype=None):
     return core, dev
 
 
-def loglik_fn(spec, covmodel="matern", dtype=None):
+def loglik_fn(spec, covmodel="matern", dtype=None, with_aux=False):
     """Compiled loglik(z, covparms, nuggets) for a given spec (cached).
+
+    with_aux=True returns (loglik, {"n_dropped_rows": count}) — the number
+    of U rows whose conditioning Cholesky failed (non-SPD) and were dropped
+    (the reference prints these to stderr,
+    /root/reference/src/U_NZentries.cpp:60-66; the TPU plugin has no host
+    callback, so the count is a value).
 
     The data-dependent, parameter-free precomputation (ordered z, the n x m
     neighbor-observation gather, NaN masks) is cached per z-array identity:
@@ -442,16 +462,17 @@ def loglik_fn(spec, covmodel="matern", dtype=None):
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     plan = get_plan(spec, dtype)
-    key = ("loglik", str(covmodel), np.dtype(dtype).name)
+    key = ("loglik", str(covmodel), np.dtype(dtype).name, with_aux)
     if key in plan.compiled:
         return plan.compiled[key]
     covmat, sel, kernel_fn = _dispatch_covmodel(spec, covmodel, dtype)
     dev = _device_arrays(plan)
 
     _prep = jax.jit(lambda dev, z: _prepare_pack(plan, dev, z, dtype))
-    _eval = jax.jit(lambda dev, pack, covparms, nuggets: _loglik_core(
-        plan, kernel_fn, covmat, dev, None, covparms, nuggets, sel=sel,
-        pack=pack))
+    _eval = jax.jit(functools.partial(
+        lambda wa, dev, pack, covparms, nuggets: _loglik_core(
+            plan, kernel_fn, covmat, dev, None, covparms, nuggets, sel=sel,
+            pack=pack, with_aux=wa), with_aux))
     zcache = {}
 
     def fn(z, covparms, nuggets):
@@ -471,7 +492,10 @@ def vecchia_likelihood(z, spec, covparms, nuggets, covmodel="matern"):
     Mirrors /root/reference/R/vecchia_likelihood.R:14-27; `z` in original
     observation order, `nuggets` scalar or per-observation vector.
     """
-    if spec.cond_yz == "zy":
+    if spec.cond_yz in ("zy", "RVP", "LK"):
+        # the reference collapses RVP/LK to cond.yz='zy'
+        # (/root/reference/R/vecchia_specify.R:224), so its warning
+        # (R/vecchia_likelihood.R:16-17) covers the whole family
         import warnings
         warnings.warn("cond.yz='zy' will produce a poor likelihood "
                       "approximation. Use 'SGV' instead.")
@@ -479,6 +503,13 @@ def vecchia_likelihood(z, spec, covparms, nuggets, covmodel="matern"):
     spec = zero_nugget_variant(spec, np.broadcast_to(nug, (spec.n_obs,)))
     if nug.ndim > 0:
         nug = np.broadcast_to(nug, (spec.n_obs,))
-    fn = loglik_fn(spec, covmodel)
-    return float(fn(np.asarray(z, np.float64),
-                    np.asarray(covparms, np.float64), nug))
+    fn = loglik_fn(spec, covmodel, with_aux=True)
+    ll, aux = fn(np.asarray(z, np.float64),
+                 np.asarray(covparms, np.float64), nug)
+    nbad = int(aux["n_dropped_rows"])
+    if nbad:
+        import warnings
+        warnings.warn(f"u_entries: Cholesky failed for {nbad} row(s); "
+                      "their U rows were dropped (non-SPD conditioning "
+                      "covariance)")
+    return float(ll)

@@ -36,10 +36,11 @@ def _posterior_core(plan, kernel_fn, covmat, dev, z, covparms, nuggets,
     nuggets = jnp.broadcast_to(jnp.asarray(nuggets, dt), z.shape)
 
     nug_ord, nug_point = _nugget_vectors(plan, dev, nuggets, dt)
-    col = u_entries(dev["locs"], dev["NN"], dev["valid"], dev["cond"],
-                    nug_point, kernel_fn, covparms, covmat=covmat, sel=sel,
-                    pdist=dev.get("pdist"), nbr_pts=dev.get("nbr_pts"),
-                    row_chunks=plan.compiled.get("u_row_chunks", 1))
+    col, _bad = u_entries(dev["locs"], dev["NN"], dev["valid"], dev["cond"],
+                          nug_point, kernel_fn, covparms, covmat=covmat,
+                          sel=sel, pdist=dev.get("pdist"),
+                          nbr_pts=dev.get("nbr_pts"),
+                          row_chunks=plan.compiled.get("u_row_chunks", 1))
     from ..linalg.sparse import gather
     zord = gather(z, dev["ord_z"])
 
@@ -202,8 +203,9 @@ def _exact_pred_vars(spec, plan, v_flat):
     # (n_pred, n_lat) solve workspace; lax.map over fixed-size chunks keeps
     # memory bounded so large n_pred no longer needs the selected-inverse
     # fallback (reference exact path, R/vecchia_prediction.R:224-244)
-    chunk = 1024
     npred = rev_pos.size
+    # don't pad tiny prediction sets up to a full chunk of wasted solves
+    chunk = min(1024, max(int(npred), 1))
     pad = (-npred) % chunk
     rp = np.concatenate([rev_pos, np.zeros(pad, np.int64)])
     rp = jnp.asarray(rp.reshape(-1, chunk))
@@ -227,9 +229,20 @@ def vecchia_lincomb(H, spec, v_flat, cov_mat=False):
     if isinstance(v_flat, dict):
         # multifrontal factor: ||L^{-1} h||^2 = h^T W^{-1} h is invariant to
         # the factor's ordering, and cross inner products likewise
+        if np.asarray(plan.known_pts).any():
+            # a factor built under the zero-nugget variant spec has fewer
+            # vertices and latent ranks that are no longer the ordered
+            # sequence — the H column mapping below would silently misalign
+            raise NotImplementedError(
+                "vecchia_lincomb with a multifrontal factor requires all "
+                "latents free (no zero-nugget/known points)")
         from .likelihood import _device_arrays as _da
         dev = _da(plan)
         static = plan.compiled["mf_static"]
+        if static.n_vert != int(np.sum(plan.has_latent_pts)):
+            raise ValueError(
+                "multifrontal factor does not match this spec's plan "
+                "(was it produced under a derived zero-nugget spec?)")
         Hv = H[:, spec.ord]                 # columns -> latent rank order
 
         def one(h):

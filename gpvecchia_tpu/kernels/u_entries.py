@@ -197,27 +197,25 @@ def _use_crout():
 def _postprocess(col, valid):
     """Per-row numerical-failure handling: a non-SPD conditioning matrix
     poisons its row with NaN/Inf — replace with e0 (zero quadform terms,
-    zero logdet contribution) and report a count off-TPU, like the
-    reference's per-row try/catch
-    (/root/reference/src/U_NZentries.cpp:60-66); then zero padded slots."""
+    zero logdet contribution), like the reference's per-row try/catch
+    (/root/reference/src/U_NZentries.cpp:60-66); then zero padded slots.
+
+    Returns (col, bad): callers must exclude bad rows from the W assembly
+    (the e0 stand-in must not inject a unit element there) and surface
+    sum(bad) to the user — on the TPU plugin there is no host callback, so
+    the count is threaded out as a value rather than printed."""
     mp1 = col.shape[1]
     bad = ~jnp.all(jnp.isfinite(col), axis=1)
-    if jax.default_backend() != "tpu":
-        nbad = jnp.sum(bad)
-        jax.lax.cond(nbad > 0,
-                     lambda c: jax.debug.print(
-                         "u_entries: Cholesky failed for {} row(s); dropped "
-                         "(non-SPD conditioning covariance)", c),
-                     lambda c: None, nbad)
     e0row = jnp.zeros((1, mp1), col.dtype).at[0, 0].set(1.0)
     col = jnp.where(bad[:, None], e0row, col)
-    return jnp.where(valid, col, 0.0)
+    return jnp.where(valid, col, 0.0), bad
 
 
 def u_entries(locs, NN, valid, cond, nug_point, kernel_fn, covparms,
               covmat=None, sel=None, pdist=None, nbr_pts=None, row_chunks=1,
               fused=None, nugT=None):
-    """U-column coefficients (n, m+1), aligned with NNarray (self first).
+    """(col, bad): U-column coefficients (n, m+1) aligned with NNarray
+    (self first), and the per-row Cholesky-failure mask (see _postprocess).
 
     row_chunks > 1 processes the rows in that many sequential chunks
     (lax.map) so the (n, (m+1)(m+2)/2) covariance intermediates never

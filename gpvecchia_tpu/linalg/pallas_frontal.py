@@ -164,10 +164,14 @@ def _factor_kernel(F, P, GB, front_ref, lpp_ref, lbp_ref, LT, PS):
 
 def _node_batch(F, P, N, itemsize=4):
     """Nodes per grid step: amortize the sequential sweep's op-issue latency
-    across independent fronts, as many as fit the VMEM budget."""
+    across independent fronts, as many as fit VMEM.  The model counts the
+    double-buffered in/out blocks plus scratches and live panel values, with
+    headroom under the 40 MB scoped limit (exceeding it is a compile error,
+    not a slowdown)."""
     B = F - P
-    per = (F * F + P * P + B * P + (P + _MW) * F + 2 * _TB * F) * itemsize
-    gb = max(1, _VMEM_BUDGET // per)
+    per = (2 * F * F + 2 * (P * P + B * P) + (P + _MW) * F
+           + 4 * _TB * F) * itemsize
+    gb = max(1, (23 * 2 ** 20) // per)
     while N % gb:
         gb -= 1
     return gb
@@ -204,7 +208,7 @@ def _factor_impl(front, P):
         scratch_shapes=[pltpu.VMEM((GB, P + _MW, F), dt),
                         pltpu.VMEM((GB, 2 * _TB, F), dt)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=2 * _VMEM_BUDGET),
+            vmem_limit_bytes=40 * 2 ** 20),
         interpret=INTERPRET,
     )(front)
     if B > 0:

@@ -86,7 +86,7 @@ def f_u(dev, covparms, nuggets):
                      nug_point, kernel_fn, covparms, pdist=dev.get("pdist"),
                      nbr_pts=dev.get("nbr_pts"),
                      row_chunks=plan.compiled.get("u_row_chunks", 1),
-                     fused=dev.get("fused"))
+                     fused=dev.get("fused"))[0]
 
 
 col = timed("u_entries", f_u, dev, covparms, nuggets)

@@ -54,3 +54,30 @@ def test_sample_posterior_vecchia_smoke():
     assert np.all(s > 0)  # exp scale
     # the chain must actually move
     assert np.std(out["samples_log"][:, :, 0]) > 1e-4
+
+
+@pytest.mark.slow
+def test_sampler_calibration_gaussian():
+    """Calibration sanity on a known target: samples from a correlated 2D
+    Gaussian must reproduce its moments (the reference has no sampler at
+    all; this keeps the capability honest rather than endpoint-smoke-only).
+    """
+    import jax
+    import jax.numpy as jnp
+    from gpvecchia_tpu.fit.mcmc import run_hmc
+
+    cov = jnp.asarray([[1.0, 0.6], [0.6, 0.5]])
+    prec = jnp.linalg.inv(cov)
+
+    def logpost(th):
+        return -0.5 * th @ prec @ th
+
+    for algo in ("hmc", "nuts"):
+        samples, _accept, _eps = run_hmc(logpost, jnp.zeros(2),
+                                         jax.random.PRNGKey(0),
+                                         num_warmup=400, num_samples=1500,
+                                         algorithm=algo)
+        s = np.asarray(samples)
+        emp = np.cov(s.T)
+        assert np.abs(s.mean(axis=0)).max() < 0.15, algo
+        assert np.abs(emp - np.asarray(cov)).max() < 0.2, algo

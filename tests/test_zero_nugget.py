@@ -7,6 +7,8 @@ by deleting Inf-diagonal rows and permuting (/root/reference/R/createU.R:
 83-86,173-193); here zero-nugget points become 'known' response-type columns.
 """
 
+import warnings
+
 import numpy as np
 import pytest
 
@@ -86,3 +88,25 @@ def test_unsupported_modes_raise():
     spec = vecchia_specify(locs, m=10, locs_pred=rng.uniform(size=(10, 2)))
     with pytest.raises(NotImplementedError):
         vecchia_likelihood(z, spec, (1.0, 0.3, 0.5), nug)
+
+
+def test_zero_nugget_unsupported_paths_raise():
+    """The zy family / ic0 / obspred prediction ordering are guarded with a
+    clear error for zero nuggets (the reference handles these by row
+    deletion, /root/reference/R/createU.R:173-193; here the known-points
+    variant covers the general path and the rest raise rather than return
+    silently wrong values — an ic0 probe measured a 12.8-nat error when the
+    guard was bypassed)."""
+    rng = np.random.default_rng(5)
+    n = 50
+    locs = rng.uniform(size=(n, 2))
+    z = rng.normal(size=n)
+    nug = np.full(n, 0.1)
+    nug[::5] = 0.0
+    for kw in (dict(cond_yz="zy"), dict(cond_yz="RVP"),
+               dict(cond_yz="SGV", ic0=True)):
+        spec = vecchia_specify(locs, m=10, **kw)
+        with pytest.raises(NotImplementedError, match="zero nuggets"):
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                vecchia_likelihood(z, spec, [1.0, 0.2, 0.5], nug)
