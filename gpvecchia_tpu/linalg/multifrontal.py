@@ -468,25 +468,56 @@ def mf_factor(static, mfdev, u_vals, dvec, rhs_elem=None, rhs_vert=None,
                 else 1
             if nchunk > 1:
                 # sequential leaf chunks bound the (N, EL, F) localized-column
-                # intermediate (3.5 GB at the n=1e6/m=40 config otherwise)
+                # intermediate (3.5 GB at the n=1e6/m=40 config otherwise);
+                # assembly, diagonal add AND factorization run per chunk, so
+                # the full (N, F, F) leaf front (5.6 GB) never materializes —
+                # only the factor outputs persist
                 ept_r = lv["elem_pt"].reshape(nchunk, N // nchunk, -1)
                 epos_r = lv["elem_pos"].reshape(
                     nchunk, N // nchunk, ept_r.shape[-1], -1)
+                piv_r = lv["piv_ids"].reshape(nchunk, N // nchunk, -1)
 
                 def leaf_body(args):
-                    ch = dict(elem_pt=args[0], elem_pos=args[1])
+                    ch = dict(elem_pt=args[0], elem_pos=args[1],
+                              piv_ids=args[2])
                     ul = _leaf_uloc(ch, F, u_vals, dt)
                     fr = jnp.einsum("nef,neg->nfg", ul, ul, precision=_PREC)
+                    df = _piv_gather(ch, dvec, 1.0, F, dt)
+                    fr = fr + df[:, :, None] * jnp.eye(F, dtype=dt)
                     if rhs_elem is not None:
                         re = _gather_elem(ch, rhs_elem, dt)
                         bb = jnp.einsum("nef,ne->nf", ul, re, precision=_PREC)
                     else:
                         bb = jnp.zeros((ul.shape[0], F), dt)
-                    return fr, bb
+                    if want_rhs and rhs_vert is not None:
+                        bb = bb + _piv_gather(ch, rhs_vert, 0.0, F, dt)
+                    Lpp_c, Lbp_c = _factor_level(fr, P, B)
+                    if want_rhs:
+                        y_c = lower_solve_vec(Lpp_c, bb[:, :P])
+                    else:
+                        y_c = jnp.zeros((ul.shape[0], 0), dt)
+                    upd_c = fr[:, P:, P:] - jnp.einsum(
+                        "nbp,ncp->nbc", Lbp_c, Lbp_c, precision=_PREC)
+                    bupd_c = bb[:, P:] - (jnp.einsum(
+                        "nbp,np->nb", Lbp_c, y_c, precision=_PREC)
+                        if want_rhs else 0.0)
+                    return Lpp_c, Lbp_c, y_c, upd_c, bupd_c
 
-                front, b = jax.lax.map(leaf_body, (ept_r, epos_r))
-                front = front.reshape(N, F, F)
-                b = b.reshape(N, F)
+                Lpp_s, Lbp_s, y_s, upd_s, bupd_s = jax.lax.map(
+                    leaf_body, (ept_r, epos_r, piv_r))
+                L_pp = Lpp_s.reshape(N, P, P)
+                L_bp = Lbp_s.reshape(N, B, P)
+                dg = jnp.diagonal(L_pp, axis1=-2, axis2=-1)
+                logdet = logdet + 2.0 * jnp.sum(jnp.log(dg))
+                out["L_pp"][d] = L_pp
+                out["L_bp"][d] = L_bp
+                upd = upd_s.reshape(N, B, B)
+                bupd = bupd_s.reshape(N, B)
+                if want_rhs:
+                    y = y_s.reshape(N, P)
+                    out["y"][d] = y
+                    quad = quad + jnp.sum(y * y)
+                continue
             else:
                 u_loc = _leaf_uloc(lv, F, u_vals, dt)
                 front = jnp.einsum("nef,neg->nfg", u_loc, u_loc,
@@ -601,7 +632,18 @@ def mf_solve(static, mfdev, fac, rhs_vert):
     return mf_backward(static, mfdev, fac, ys)
 
 
-def mf_selinv_diag(static, mfdev, fac):
+def _sbb_from_parent(S_prev, par, bip, dt):
+    """(N, B, B) parent selected-inverse block at the border positions."""
+    ok = bip >= 0
+    gc = jnp.clip(bip, 0)
+    rows = S_prev[par[:, None], gc]               # (N, B, Fp) row gather
+    rows = jnp.where(ok[:, :, None], rows, 0.0)
+    ar = jnp.arange(bip.shape[0])[:, None]
+    S_bb = jnp.swapaxes(rows, 1, 2)[ar, gc]       # (N, B, B)
+    return jnp.where(ok[:, :, None], S_bb, 0.0)
+
+
+def mf_selinv_diag(static, mfdev, fac, leaf_chunks=None):
     """diag(W^{-1}) over vertices via top-down multifrontal selected inverse.
 
     Block recursion (with G = L_bp L_pp^{-1}, S_bb gathered from the parent's
@@ -611,6 +653,12 @@ def mf_selinv_diag(static, mfdev, fac):
     This is the multifrontal form of the Takahashi recursion the reference
     delegates to sparseinv (/root/reference/R/vecchia_prediction.R:193-197),
     and is exact here (the fronts carry the full fill pattern).
+
+    The deepest level has no children, so only its PIVOT DIAGONAL is
+    computed — in node chunks (lax.map) so its (N, F, F) selected-inverse
+    fronts never materialize (they would be ~5.6 GB at n=1e6/m=40, the
+    round-3 OOM); parents are streamed by an indexed gather instead of a
+    materialized jnp.repeat.
     """
     levels = mfdev["levels"]
     D = static.depth
@@ -624,30 +672,54 @@ def mf_selinv_diag(static, mfdev, fac):
         L_bp = fac["L_bp"][d]
         N, P = lv["piv_ids"].shape
         B = L_bp.shape[1]
-        Linv = tri_inv_lower(L_pp)
-        SppA = jnp.einsum("npq,npr->nqr", Linv, Linv, precision=_PREC)
-        if B > 0:
-            bip = lv["bip"]                       # (N, B) pos in parent front
-            ok = bip >= 0
-            gc = jnp.clip(bip, 0)
-            Sp = jnp.repeat(S_prev, 2, axis=0)    # (N, Fp, Fp)
-            ar = jnp.arange(N)[:, None]
-            rows = Sp[ar, gc]                     # (N, B, Fp) row gather
-            rows = jnp.where(ok[:, :, None], rows, 0.0)
-            S_bb = jnp.swapaxes(rows, 1, 2)[ar, gc]   # (N, B, B)
-            S_bb = jnp.where(ok[:, :, None], S_bb, 0.0)
-            G = jnp.einsum("nbp,npq->nbq", L_bp, Linv, precision=_PREC)
-            S_pp = SppA + jnp.einsum("nbq,nbc,ncr->nqr", G, S_bb, G,
-                                     precision=_PREC)
-            S_bp = -jnp.einsum("nbc,ncq->nbq", S_bb, G, precision=_PREC)
-            top = jnp.concatenate([S_pp, jnp.swapaxes(S_bp, -1, -2)], axis=-1)
-            bot = jnp.concatenate([S_bp, S_bb], axis=-1)
-            S_front = jnp.concatenate([top, bot], axis=-2)
+        F = P + B
+        par = jnp.arange(N) // 2
+        if d == D and B > 0 and d > 0:
+            # final level: diagonal only, in bounded node chunks
+            if leaf_chunks is None:
+                nchunk = 1
+                while N * F * F * 4 // nchunk > 400_000_000 and nchunk < N:
+                    nchunk *= 2
+            else:
+                nchunk = leaf_chunks
+
+            def leaf_diag(args):
+                Lpp_c, Lbp_c, bip_c, par_c = args
+                Linv = tri_inv_lower(Lpp_c)
+                dgA = jnp.sum(Linv * Linv, axis=1)           # (C, P)
+                S_bb = _sbb_from_parent(S_prev, par_c, bip_c, dt)
+                G = jnp.einsum("nbp,npq->nbq", Lbp_c, Linv, precision=_PREC)
+                t = jnp.einsum("nbc,ncq->nbq", S_bb, G, precision=_PREC)
+                dgB = jnp.einsum("nbq,nbq->nq", G, t, precision=_PREC)
+                return dgA + dgB
+
+            if nchunk > 1 and N % nchunk == 0:
+                C = N // nchunk
+                args = (L_pp.reshape(nchunk, C, P, P),
+                        L_bp.reshape(nchunk, C, B, P),
+                        lv["bip"].reshape(nchunk, C, B),
+                        par.reshape(nchunk, C))
+                dg = jax.lax.map(leaf_diag, args).reshape(N, P)
+            else:
+                dg = leaf_diag((L_pp, L_bp, lv["bip"], par))
         else:
-            S_pp = SppA
-            S_front = S_pp
-        S_prev = S_front
-        dg = jnp.diagonal(S_pp, axis1=-2, axis2=-1)
+            Linv = tri_inv_lower(L_pp)
+            SppA = jnp.einsum("npq,npr->nqr", Linv, Linv, precision=_PREC)
+            if B > 0:
+                S_bb = _sbb_from_parent(S_prev, par, lv["bip"], dt)
+                G = jnp.einsum("nbp,npq->nbq", L_bp, Linv, precision=_PREC)
+                S_pp = SppA + jnp.einsum("nbq,nbc,ncr->nqr", G, S_bb, G,
+                                         precision=_PREC)
+                S_bp = -jnp.einsum("nbc,ncq->nbq", S_bb, G, precision=_PREC)
+                top = jnp.concatenate([S_pp, jnp.swapaxes(S_bp, -1, -2)],
+                                      axis=-1)
+                bot = jnp.concatenate([S_bp, S_bb], axis=-1)
+                S_front = jnp.concatenate([top, bot], axis=-2)
+            else:
+                S_pp = SppA
+                S_front = S_pp
+            S_prev = S_front
+            dg = jnp.diagonal(S_pp, axis1=-2, axis2=-1)
         piv = lv["piv_ids"]
         okp = piv >= 0
         diag_out = diag_out.at[jnp.where(okp, piv, n_vert)].set(

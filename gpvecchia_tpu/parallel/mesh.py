@@ -52,16 +52,51 @@ def _pad_rows(plan, dev, n_dev):
 
 
 def shard_rows(mesh, plan, dev):
-    """Place row-indexed plan arrays sharded over the 'rows' axis."""
-    dev, _ = _pad_rows(plan, dev, mesh.shape["rows"])
+    """Place row-indexed plan arrays sharded over the 'rows' axis.
+
+    The multifrontal tree's per-level node arrays shard on the NODE axis
+    wherever the node count divides the mesh: the planner's in-order node
+    numbering makes contiguous node ranges exactly subtrees, and children
+    2i, 2i+1 land on the same device as parent i — so the factorization's
+    extend-add stays device-local below depth log2(n_dev) and XLA only
+    inserts collectives at the (tiny) top levels.  This covers ~all factor
+    FLOPs: the leaf + deep levels dominate.
+    """
+    n_dev = mesh.shape["rows"]
+    dev, _ = _pad_rows(plan, dev, n_dev)
     out = {}
     for k, v in dev.items():
         if k in _ROW_KEYS:
             spec = P("rows", *([None] * (v.ndim - 1)))
+        elif k == "mf":
+            out[k] = _shard_mf(mesh, v, n_dev)
+            continue
+        elif k == "fused":
+            # transposed caches: the row dimension is the LANE axis
+            out[k] = {kk: jax.device_put(
+                vv, NamedSharding(mesh, P(*([None] * (vv.ndim - 1)
+                                            + ["rows"]))))
+                for kk, vv in v.items()}
+            continue
         else:
             spec = P()      # schedules/lookup tables stay replicated
         out[k] = jax.device_put(v, NamedSharding(mesh, spec))
     return out
+
+
+def _shard_mf(mesh, mf, n_dev):
+    """Shard each level's node-indexed arrays over 'rows' where divisible."""
+    levels = []
+    for lv in mf["levels"]:
+        N = lv["piv_ids"].shape[0]
+        ok = N % n_dev == 0 and N >= n_dev
+        spec_of = (lambda a: P("rows", *([None] * (a.ndim - 1)))) if ok \
+            else (lambda a: P())
+        levels.append({k: (None if a is None else jax.device_put(
+            a, NamedSharding(mesh, spec_of(a)))) for k, a in lv.items()})
+    return dict(levels=levels,
+                x_slot=jax.device_put(mf["x_slot"],
+                                      NamedSharding(mesh, P())))
 
 
 def sharded_loglik_core(spec, covmodel="matern", mesh=None, dtype=None):

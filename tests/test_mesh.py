@@ -76,3 +76,47 @@ def test_chains_axis(problem):
     vals = np.asarray(batched(ps, sdev))
     np.testing.assert_allclose(vals[0], ref, rtol=1e-12)
     assert vals[0] != vals[1]
+
+
+def test_mf_levels_sharded_and_collectives_emitted(problem):
+    """The multifrontal factor must actually SHARD across the mesh (round-3
+    regression: it was silently replicated, so 'sharded' tests passed while
+    every device redundantly computed the whole tree).  Asserts (a) the deep
+    levels' node arrays carry a 'rows' sharding — per-device factor work is
+    ~1/n_dev by construction since contiguous node ranges are subtrees —
+    and (b) the compiled HLO contains collectives (the top-level transition
+    must communicate, not replicate)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    rng = np.random.default_rng(7)
+    n = 5000                      # deep enough for >= 2 levels of 8+ nodes
+    locs = rng.uniform(size=(n, 2))
+    spec = vecchia_specify(locs, m=10, cond_yz="SGV")
+    z = rng.normal(size=n)
+    covparms = np.array([1.3, 0.25, 0.5])
+    nuggets = np.full(n, 0.15)
+    ref = float(loglik_fn(spec, "matern")(z, covparms, nuggets))
+    mesh = make_mesh(jax.devices()[:8], chains=1)
+    core, sdev = sharded_loglik_core(spec, "matern", mesh=mesh)
+    assert "mf" in sdev, "problem too small for the multifrontal path"
+    n_dev = 8
+    sharded_levels = 0
+    for lv in sdev["mf"]["levels"]:
+        N = lv["piv_ids"].shape[0]
+        parts = lv["piv_ids"].sharding.spec
+        if N >= n_dev:
+            assert parts and parts[0] == "rows", (N, parts)
+            sharded_levels += 1
+        else:
+            assert not parts or parts[0] is None
+    assert sharded_levels >= 2
+
+    lowered = jax.jit(core).lower(sdev, jnp.asarray(z), jnp.asarray(covparms),
+                                  jnp.asarray(nuggets))
+    hlo = lowered.compile().as_text()
+    assert ("all-reduce" in hlo) or ("all-gather" in hlo) or (
+        "reduce-scatter" in hlo), "no collectives in compiled HLO"
+    # and the value still matches the single-device reference
+    val = float(jax.jit(core)(sdev, jnp.asarray(z), jnp.asarray(covparms),
+                              jnp.asarray(nuggets)))
+    np.testing.assert_allclose(val, ref, rtol=1e-12)
