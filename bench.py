@@ -153,6 +153,13 @@ def run_config(n, m, cond, n_evals, dtype, with_grad=False):
 
 def main():
     import jax
+
+    # persistent executable cache: warm-process compiles drop ~an order of
+    # magnitude (verified working through the axon remote-compile flow)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("GPV_COMPILE_CACHE",
+                                     "/tmp/gpv_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     import jax.numpy as jnp
 
     dtype = jnp.float32
