@@ -40,7 +40,8 @@ def _posterior_core(plan, kernel_fn, covmat, dev, z, covparms, nuggets,
                           nug_point, kernel_fn, covparms, covmat=covmat,
                           sel=sel, pdist=dev.get("pdist"),
                           nbr_pts=dev.get("nbr_pts"),
-                          row_chunks=plan.compiled.get("u_row_chunks", 1))
+                          row_chunks=plan.compiled.get("u_row_chunks", 1),
+                          fused=dev.get("fused"))
     from ..linalg.sparse import gather
     zord = gather(z, dev["ord_z"])
 
