@@ -16,7 +16,9 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <deque>
 #include <queue>
 #include <vector>
 
@@ -313,6 +315,148 @@ void sgv_select(const int64_t* NN, int64_t n, int mp1, int64_t first_pred,
     }
     crow[0] = 1;
   }
+}
+
+// MRA knot tree (native twin of geometry/mra.py build_mra_nnarray; the
+// reference's is src/fastTree.cpp:272-297).  BFS over regions: at levels
+// < M the first r[level] region points (ascending ordering position)
+// become knots prepended to the inherited ancestor chain, the rest is
+// median-split into J[level] balanced clusters; at level M every point is
+// a knot.  Outputs the per-point conditioning CHAIN (next knot + length)
+// -- the caller expands rows vectorizedly -- plus the effective stats.
+//
+// eff_out layout: [eff_M, finest_count, finest_total, r_eff_or_-1 x (M+1)]
+// (the -1 marks levels whose regions disagreed on r_eff, replicating the
+// Python conflict tracking ORDER-SENSITIVELY, hence BFS here too).
+void mra_tree(const double* locs, int64_t n, int d, const int64_t* J,
+              const int64_t* r, int64_t M, int64_t* chain_next,
+              int64_t* chain_len, int64_t* eff_out) {
+  struct Region {
+    int64_t level;
+    int64_t head;  // last knot of the inherited chain (-1 = none)
+    std::vector<int64_t> pts;
+  };
+  std::vector<int64_t> eff_r(M + 1, 0);
+  std::vector<char> conflict(M + 1, 0);
+  int64_t eff_M = 0, finest_count = 0, finest_total = 0;
+  for (int64_t i = 0; i < n; ++i) { chain_next[i] = -1; chain_len[i] = 0; }
+
+  std::deque<Region> queue;
+  {
+    Region root{0, -1, {}};
+    root.pts.resize(n);
+    for (int64_t i = 0; i < n; ++i) root.pts[i] = i;
+    queue.push_back(std::move(root));
+  }
+  std::vector<double> vals;
+  while (!queue.empty()) {
+    Region reg = std::move(queue.front());
+    queue.pop_front();
+    int64_t level = reg.level;
+    if (level > eff_M) eff_M = level;
+    int64_t head = reg.head;
+    int64_t head_len = head >= 0 ? chain_len[head] : 0;
+    if (level < M) {
+      int64_t r_eff = std::min<int64_t>(r[level], (int64_t)reg.pts.size());
+      if (eff_r[level] == 0 && !conflict[level]) eff_r[level] = r_eff;
+      else if (eff_r[level] != r_eff) conflict[level] = 1;
+      for (int64_t j = 0; j < r_eff; ++j) {
+        int64_t k = reg.pts[j];
+        chain_next[k] = head;
+        chain_len[k] = head_len + 1;
+        head = k;
+        head_len = chain_len[k];
+      }
+      int64_t rest = (int64_t)reg.pts.size() - r_eff;
+      if (rest == 0) continue;
+      int64_t Jl = J[level];
+      if (Jl > rest) {
+        // singletons in region order, then empties
+        for (int64_t j = 0; j < Jl; ++j) {
+          Region child{level + 1, head, {}};
+          if (j < rest) child.pts.push_back(reg.pts[r_eff + j]);
+          queue.push_back(std::move(child));
+        }
+      } else {
+        // cluster_equal: log2(K) rounds of median splits on alternating
+        // dims starting at (level % 2 + 1); border points (== median)
+        // balance the halves; children emerge ascending-sorted
+        int64_t K = 1;
+        int64_t lg = 0;
+        while (K < Jl) { K <<= 1; ++lg; }
+        int64_t dim_start = level % 2 + 1;
+        std::vector<std::vector<int64_t>> regions;
+        regions.emplace_back(reg.pts.begin() + r_eff, reg.pts.end());
+        for (int64_t power = 0; power < lg; ++power) {
+          int axis = (int)((dim_start + power) % d);
+          std::vector<std::vector<int64_t>> next_regions;
+          for (auto& cur : regions) {
+            int64_t cn = (int64_t)cur.size();
+            if (cn == 0) {
+              next_regions.emplace_back();
+              next_regions.emplace_back();
+              continue;
+            }
+            vals.resize(cn);
+            for (int64_t i = 0; i < cn; ++i)
+              vals[i] = locs[cur[i] * d + axis];
+            std::vector<double> sv(vals);
+            std::nth_element(sv.begin(), sv.begin() + cn / 2, sv.end());
+            double cutoff;
+            if (cn % 2 == 1) {
+              cutoff = sv[cn / 2];
+            } else {
+              double hi = sv[cn / 2];
+              double lo = *std::max_element(sv.begin(), sv.begin() + cn / 2);
+              cutoff = (lo + hi) / 2.0;
+            }
+            std::vector<int64_t> r1, r2, border;
+            for (int64_t i = 0; i < cn; ++i) {
+              if (vals[i] > cutoff) r1.push_back(cur[i]);
+              else if (vals[i] < cutoff) r2.push_back(cur[i]);
+              else border.push_back(cur[i]);
+            }
+            if (!border.empty()) {
+              int64_t diff = std::llabs((int64_t)r1.size() - (int64_t)r2.size());
+              int64_t take = std::min<int64_t>(diff, (int64_t)border.size());
+              auto& small = r1.size() > r2.size() ? r2 : r1;
+              small.insert(small.end(), border.begin(), border.begin() + take);
+              int64_t restb = (int64_t)border.size() - take;
+              int64_t half = restb / 2;
+              r1.insert(r1.end(), border.begin() + take,
+                        border.begin() + take + half);
+              r2.insert(r2.end(), border.begin() + take + half, border.end());
+            }
+            next_regions.push_back(std::move(r1));
+            next_regions.push_back(std::move(r2));
+          }
+          regions = std::move(next_regions);
+        }
+        // only the FINAL clusters are sorted (the Python twin keeps
+        // intermediate split order, which feeds the border distribution)
+        for (auto& child_pts : regions) std::sort(child_pts.begin(),
+                                                  child_pts.end());
+        for (auto& child_pts : regions) {
+          Region child{level + 1, head, std::move(child_pts)};
+          queue.push_back(std::move(child));
+        }
+      }
+    } else {
+      for (int64_t k : reg.pts) {
+        chain_next[k] = head;
+        chain_len[k] = head_len + 1;
+        head = k;
+        head_len = chain_len[k];
+      }
+      finest_count += 1;
+      finest_total += (int64_t)reg.pts.size();
+    }
+  }
+  eff_out[0] = eff_M;
+  eff_out[1] = finest_count;
+  eff_out[2] = finest_total;
+  for (int64_t l = 0; l <= M; ++l)
+    eff_out[3 + l] = conflict[l] ? -1 : eff_r[l];
 }
 
 // Symbolic Cholesky (Liu row-pattern algorithm) of a symmetric matrix given

@@ -52,12 +52,11 @@ def _nuts_transition(logpost_fn, grad_fn, key, theta0, eps, inv_mass,
 
     Classic recursive NUTS doubles the trajectory up to max_depth times,
     alternating directions, and stops on a U-turn between trajectory
-    endpoints.  Here each doubling is one bounded lax.while_loop of leapfrog
+    endpoints.  Here each doubling is one bounded fori_loop of leapfrog
     steps; the carry keeps both endpoints and a running multinomial sample of
-    the whole trajectory.  Subtree-internal U-turn checks are approximated by
-    endpoint checks per doubling (generalized criterion on the outermost
-    merge), which preserves detailed balance of the multinomial scheme wrt
-    the sampled stopping time while keeping shapes static.
+    the whole trajectory.  Subtree-internal U-turn checks use the iterative
+    balanced-block scheme (a state stack with one slot per scale), which
+    reproduces the recursive algorithm's exact check set with static shapes.
     """
     dt = theta0.dtype
     dim = theta0.shape[0]
@@ -72,21 +71,34 @@ def _nuts_transition(logpost_fn, grad_fn, key, theta0, eps, inv_mass,
         go_right = jax.random.bernoulli(kdir)
         n_leap = 2 ** depth  # static per unrolled doubling
 
+        # iterative balanced-subtree U-turn checks: a state stack with one
+        # slot per scale s = 1..max_depth.  Step i (producing state z_{i+1})
+        # SAVES z_{i+1} into every slot s with i % 2^s == 0 (z_{i+1} starts
+        # those blocks) and CHECKS the U-turn between slot s and z_{i+1} for
+        # every s with (i+1) % 2^s == 0 (those blocks complete there).  This
+        # is exactly the recursive scheme's set of balanced sub-subtree
+        # (start, end) pairs — reversal-symmetric, unlike a check against
+        # the subtree start at every step, which biases the stationary
+        # distribution (round-5 fix; calibration-tested on a Gaussian).
+        scales = 2 ** jnp.arange(1, max_depth + 1, dtype=jnp.int32)
+        dirsgn = jnp.where(go_right, 1.0, -1.0).astype(dt)
+
         def leap_body(i, c):
             (th, r, log_w_sub, prop_sub, key_s, sum_a, n_a, bad,
-             th_s, r_s) = c
+             stk_th, stk_r) = c
             eps_d = jnp.where(go_right, eps, -eps)
             th, r = _leapfrog(grad_fn, th, r, eps_d, inv_mass)
             joint = logpost_fn(th) - _kinetic(r, inv_mass)
             delta = joint - joint0
             bad = bad | (delta < -1000.0) | jnp.isnan(delta)
-            # subtree-internal U-turn check against the subtree's start
-            # state (an invalid subtree must be rejected wholesale — merging
-            # it anyway overdisperses the chain; caught by the calibration
-            # test on a known Gaussian target)
-            dth = (th - th_s) * jnp.where(go_right, 1.0, -1.0)
-            bad = bad | (jnp.dot(dth, inv_mass * r) < 0) \
-                      | (jnp.dot(dth, inv_mass * r_s) < 0)
+            save = (i % scales) == 0                          # (S,)
+            stk_th = jnp.where(save[:, None], th[None, :], stk_th)
+            stk_r = jnp.where(save[:, None], r[None, :], stk_r)
+            check = ((i + 1) % scales) == 0
+            dth = (th[None, :] - stk_th) * dirsgn             # (S, dim)
+            d_end = dth @ (inv_mass * r)                      # (S,)
+            d_beg = jnp.sum(dth * (inv_mass * stk_r), axis=-1)
+            bad = bad | jnp.any(check & ((d_end < 0) | (d_beg < 0)))
             # progressive multinomial within the new subtree
             log_w_new = jnp.logaddexp(log_w_sub, delta)
             key_s, ku = jax.random.split(key_s)
@@ -94,14 +106,15 @@ def _nuts_transition(logpost_fn, grad_fn, key, theta0, eps, inv_mass,
             prop_sub = jnp.where(take & ~bad, th, prop_sub)
             sum_a = sum_a + jnp.minimum(jnp.exp(delta), 1.0)
             return (th, r, log_w_new, prop_sub, key_s, sum_a, n_a + 1, bad,
-                    th_s, r_s)
+                    stk_th, stk_r)
 
         th_start = jnp.where(go_right, tp, tm)
         r_start = jnp.where(go_right, rp, rm)
         key, ksub = jax.random.split(key)
+        stk0 = jnp.zeros((max_depth, dim), dt)
         init = (th_start, r_start, jnp.asarray(-jnp.inf, dt), th_start, ksub,
                 jnp.asarray(0.0, dt), jnp.asarray(0, jnp.int32),
-                jnp.asarray(False), th_start, r_start)
+                jnp.asarray(False), stk0, stk0)
         (th_e, r_e, log_w_sub, prop_sub, _, sum_a, n_a, div, _,
          _) = jax.lax.fori_loop(0, n_leap, leap_body, init)
 

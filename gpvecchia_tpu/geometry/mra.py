@@ -151,14 +151,38 @@ def cluster_equal(locs: np.ndarray, inds: np.ndarray, K: int, dim_start: int) ->
     return [np.sort(r) for r in regions]
 
 
-def build_mra_nnarray(locsord: np.ndarray, J: list[int], M: int, r: list[int]):
+def build_mra_nnarray(locsord: np.ndarray, J: list[int], M: int, r: list[int],
+                      force_python: bool = False):
     """BFS knot tree -> conditioning sets.
 
     Returns (NNarray, eff) where NNarray is (n, eff_m+1) int64, self first,
-    -1 padded, and eff is a dict of effective M/J/r.
+    -1 padded, and eff is a dict of effective M/J/r.  Uses the native C++
+    tree builder (csrc/hostops.cpp mra_tree; reference
+    src/fastTree.cpp:272-297) when available — the Python BFS below is its
+    behavioral twin and the fallback (force_python pins it for parity
+    tests).
     """
     locsord = np.asarray(locsord, dtype=np.float64)
     n = locsord.shape[0]
+
+    native = None
+    if not force_python:
+        from ..csrc import mra_tree
+        native = mra_tree(locsord, J, M, r)
+    if native is not None:
+        chain_next, chain_len, eff_part = native
+        eff_m = int(chain_len.max()) - 1
+        NNarray = np.full((n, eff_m + 1), -1, dtype=np.int64)
+        cur = np.arange(n, dtype=np.int64)
+        NNarray[:, 0] = cur
+        cur = chain_next.copy()
+        for k in range(1, eff_m + 1):
+            ok = cur >= 0
+            NNarray[ok, k] = cur[ok]
+            cur[ok] = chain_next[cur[ok]]
+        eff = {"M": eff_part["M"], "J": [int(j) for j in J],
+               "r": eff_part["r"], "m": eff_m}
+        return NNarray, eff
 
     # cond_of[p] for each point p = its full conditioning set (self first,
     # most recent ancestor-knots next), as a list

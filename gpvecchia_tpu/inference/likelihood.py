@@ -475,12 +475,32 @@ def loglik_fn(spec, covmodel="matern", dtype=None, with_aux=False):
             pack=pack, with_aux=wa), with_aux))
     zcache = {}
 
+    def _zkey(z):
+        # jax arrays are immutable -> identity suffices; numpy arrays can be
+        # mutated in place between calls (EM/latent-update loops), so key on
+        # a content fingerprint: shape/dtype + a strided value sample
+        if isinstance(z, np.ndarray):
+            s = max(1, z.size // 64)
+            sample = np.ascontiguousarray(z.reshape(-1)[::s])
+            return (id(z), z.shape, str(z.dtype), sample.tobytes())
+        return (id(z),)
+
     def fn(z, covparms, nuggets):
-        if zcache.get("id") != id(z):
-            zcache["id"] = id(z)
+        key = None if isinstance(z, jax.core.Tracer) else _zkey(z)
+        if key is not None and zcache.get("key") == key:
+            return _eval(dev, zcache["pack"], covparms, nuggets)
+        pack = _prep(dev, z)
+        # cache ONLY concrete packs: under an outer trace (grad/jit of fn)
+        # _prep stages into that trace and returns tracers, which must not
+        # leak into later calls (and the constant cache can hand the same
+        # id(z) to a different trace)
+        if key is not None and not any(
+                isinstance(leaf, jax.core.Tracer)
+                for leaf in jax.tree.leaves(pack)):
+            zcache["key"] = key
             zcache["ref"] = z            # pin the array so the id is stable
-            zcache["pack"] = _prep(dev, z)
-        return _eval(dev, zcache["pack"], covparms, nuggets)
+            zcache["pack"] = pack
+        return _eval(dev, pack, covparms, nuggets)
 
     plan.compiled[key] = fn
     return fn

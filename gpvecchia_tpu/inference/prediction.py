@@ -36,12 +36,17 @@ def _posterior_core(plan, kernel_fn, covmat, dev, z, covparms, nuggets,
     nuggets = jnp.broadcast_to(jnp.asarray(nuggets, dt), z.shape)
 
     nug_ord, nug_point = _nugget_vectors(plan, dev, nuggets, dt)
-    col, _bad = u_entries(dev["locs"], dev["NN"], dev["valid"], dev["cond"],
-                          nug_point, kernel_fn, covparms, covmat=covmat,
-                          sel=sel, pdist=dev.get("pdist"),
-                          nbr_pts=dev.get("nbr_pts"),
-                          row_chunks=plan.compiled.get("u_row_chunks", 1),
-                          fused=dev.get("fused"))
+    col, bad = u_entries(dev["locs"], dev["NN"], dev["valid"], dev["cond"],
+                         nug_point, kernel_fn, covparms, covmat=covmat,
+                         sel=sel, pdist=dev.get("pdist"),
+                         nbr_pts=dev.get("nbr_pts"),
+                         row_chunks=plan.compiled.get("u_row_chunks", 1),
+                         fused=dev.get("fused"))
+    # a dropped (non-SPD) row contributes NOTHING to the posterior precision
+    # W/V assembly — zeroing here mirrors col_w in _loglik_core so likelihood
+    # and prediction imply the same model when drops occur (the e0 stand-in
+    # in `col` would otherwise inject a spurious unit element)
+    col_w = jnp.where(bad[:, None], 0.0, col)
     from ..linalg.sparse import gather
     zord = gather(z, dev["ord_z"])
 
@@ -53,7 +58,7 @@ def _posterior_core(plan, kernel_fn, covmat, dev, z, covparms, nuggets,
     if plan.use_mf:
         # mean = -W^{-1} z2 through the multifrontal factor (the ordering of
         # the factorization is free; the solution vector is not)
-        fac = _mf_denominator(plan, dev, col, z1L, zord, nug_ord, dt)
+        fac = _mf_denominator(plan, dev, col_w, z1L, zord, nug_ord, dt)
         mu_lat = -mf_backward(plan.compiled["mf_static"], dev["mf"], fac)
         if "known_pt" in dev:
             # exact (zero-nugget) observations: posterior mean is the datum
@@ -66,11 +71,11 @@ def _posterior_core(plan, kernel_fn, covmat, dev, z, covparms, nuggets,
         # ordered sequence
         return mu_lat, fac, col, nug_ord
 
-    ucat_z = jnp.concatenate([col.ravel(), jnp.ones(1, dt)])
+    ucat_z = jnp.concatenate([col_w.ravel(), jnp.ones(1, dt)])
     zcat = jnp.concatenate([z1L, -z1Z / jnp.sqrt(nug_ord)])
     z2 = pair_sum(ucat_z, zcat, dev["z2_sched"], dt)
 
-    v_flat = compute_v_factor(plan, dev, col, nug_ord, dt)
+    v_flat = compute_v_factor(plan, dev, col_w, nug_ord, dt)
     temp = forward_solve(v_flat, z2[::-1], dev["fwd"],
                          x_perm=dev["fwd_x_perm"], x_size=plan.fwd_x_size)
     mu_rev = -backward_solve(v_flat, temp, dev["bwd"],

@@ -31,6 +31,7 @@ parameter-free NumPy run once per spec.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import numpy as np
 
@@ -43,6 +44,7 @@ from .blocked import (chol, lower_solve_vec, tri_inv_lower, trsm_right,
                       upper_solve_vec)
 from .pallas_eadd import eadd_fits_vmem, eadd_fronts
 from .pallas_frontal import factor_fronts, fits_vmem
+from . import pallas_level as PL
 
 __all__ = ["MFPlan", "build_mf_plan", "mf_device_arrays", "mf_factor",
            "mf_forward", "mf_backward", "mf_solve", "mf_selinv_diag"]
@@ -307,18 +309,29 @@ class MFStatic:
     x_offsets: tuple
     x_size: int
     n_vert: int
+    fused_T: tuple = ()       # per-depth panel count for the fused kernel
+                              # (0 = level not fused; leaf: 1 = fused)
 
 
-def mf_device_arrays(mf: MFPlan):
+def mf_device_arrays(mf: MFPlan, fused=None):
     """(static, arrays): shape metadata + jnp index-array pytree.
 
     `arrays` contains only jnp arrays (and Nones) and must be passed through
     the caller's jit boundary as an ARGUMENT; `static` holds Python ints used
     for slicing and must be closed over.
+
+    On TPU (fused=None autodetects) each level that fits VMEM also carries
+    the fused-kernel panel plans (linalg/pallas_level.py): `pl_starts` /
+    `pl_rel` for internal levels, `elem_pt_p` / `epos_aug` for the leaf.
     """
+    if fused is None:
+        fused = jax.default_backend() == "tpu" and not os.environ.get(
+            "GPV_NO_PALLAS")
+    D = mf.depth
     out = []
-    for lv in mf.levels:
-        out.append(dict(
+    fused_T = [0] * (D + 1)
+    for d, lv in enumerate(mf.levels):
+        entry = dict(
             piv_ids=jnp.asarray(lv.piv_ids),
             ext=None if lv.ext is None else jnp.asarray(lv.ext),
             bip=(None if lv.bord_in_parent is None
@@ -328,17 +341,46 @@ def mf_device_arrays(mf: MFPlan):
             elem_pt=None if lv.elem_pt is None else jnp.asarray(lv.elem_pt),
             elem_pos=(None if lv.elem_pos is None
                       else jnp.asarray(lv.elem_pos)),
-        ))
+        )
+        P, B = lv.npiv, lv.nbord
+        B1 = B + 1
+        F1 = P + B1
+        if fused and d == D and lv.elem_pt is not None:
+            EL, K = lv.elem_pos.shape[1:]
+            if PL.leaf_fits_vmem(P, B1, EL, K) and P > 0:
+                ELp = PL._ru(EL, 8)
+                ept_p = np.full((lv.elem_pt.shape[0], ELp), -1, np.int32)
+                ept_p[:, :EL] = lv.elem_pt
+                epos_aug = np.full((lv.elem_pt.shape[0], ELp, K + 1), -1,
+                                   np.int32)
+                epos_aug[:, :EL, :K] = lv.elem_pos
+                epos_aug[:, :EL, K] = np.where(lv.elem_pt >= 0, F1 - 1, -1)
+                entry["elem_pt_p"] = jnp.asarray(ept_p)
+                entry["epos_aug"] = jnp.asarray(epos_aug)
+                fused_T[d] = 1
+        elif fused and d < D and lv.ext is not None:
+            Bc1 = mf.levels[d + 1].nbord + 1
+            if PL.level_fits_vmem(P, B1, Bc1) and P > 0:
+                N = lv.ext.shape[0]
+                ext_aug = np.full((N, 2, F1), -1, np.int32)
+                ext_aug[:, :, :P + B] = lv.ext
+                ext_aug[:, :, F1 - 1] = Bc1 - 1
+                starts, rel, T, _ = PL.level_kernel_plan(ext_aug, Bc1)
+                entry["pl_starts"] = jnp.asarray(starts)
+                entry["pl_rel"] = jnp.asarray(rel)
+                fused_T[d] = T
+        out.append(entry)
     static = MFStatic(depth=mf.depth,
                       npiv=tuple(lv.npiv for lv in mf.levels),
                       nbord=tuple(lv.nbord for lv in mf.levels),
                       x_offsets=tuple(int(o) for o in mf.x_offsets),
-                      x_size=int(mf.x_size), n_vert=int(mf.n_vert))
+                      x_size=int(mf.x_size), n_vert=int(mf.n_vert),
+                      fused_T=tuple(fused_T))
     arrays = dict(levels=out, x_slot=jnp.asarray(mf.x_slot))
     return static, arrays
 
 
-def _leaf_uloc(lvdev, F, u_vals, dt):
+def _leaf_uloc_raw(lvdev, F, u_vals, dt):
     """Localized element columns per leaf: (N, EL, F), scatter-free."""
     ept = lvdev["elem_pt"]
     epos = lvdev["elem_pos"]
@@ -351,6 +393,49 @@ def _leaf_uloc(lvdev, F, u_vals, dt):
         u_loc = u_loc + jnp.where(iota == epos[..., k:k + 1],
                                   u[..., k:k + 1], 0.0)
     return u_loc
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _leaf_uloc_cv(F, dt, ept, epos, u_vals):
+    return _leaf_uloc_raw(dict(elem_pt=ept, elem_pos=epos), F, u_vals, dt)
+
+
+def _leaf_uloc_fwd(F, dt, ept, epos, u_vals):
+    return _leaf_uloc_cv(F, dt, ept, epos, u_vals), (ept, epos, u_vals)
+
+
+def _leaf_uloc_bwd(F, dt, res, g):
+    # du[e, k] = g[n, e, epos[e, k]]  (front = uloc-driven downstream)
+    ept, epos, u_vals = res
+    K = epos.shape[-1]
+    E = u_vals.shape[0]
+    ar_n = jnp.arange(g.shape[0])[:, None]
+    ar_e = jnp.arange(g.shape[1])[None, :]
+    du_loc = jnp.stack(
+        [g[ar_n, ar_e, jnp.clip(epos[..., k], 0)] for k in range(K)],
+        axis=-1)                                              # (N, EL, K)
+    du_loc = jnp.where((epos >= 0) & (ept >= 0)[..., None], du_loc, 0.0)
+    du = jnp.zeros((E + 1, K), g.dtype).at[
+        jnp.where(ept >= 0, ept, E).reshape(-1)].add(
+        du_loc.reshape(-1, K), mode="drop")
+    return (np.zeros(ept.shape, jax.dtypes.float0),
+            np.zeros(epos.shape, jax.dtypes.float0),
+            du[:E].astype(u_vals.dtype))
+
+
+_leaf_uloc_cv.defvjp(_leaf_uloc_fwd, _leaf_uloc_bwd)
+
+
+def _leaf_uloc(lvdev, F, u_vals, dt):
+    """_leaf_uloc_raw with a custom VJP whose only residual is u_vals
+    (+ the index plans).
+
+    Autodiff of the K-term one-hot expansion saves O(N * EL * F) select
+    masks per term, which is what OOM'd jax.grad of the n=1e6/m=40
+    likelihood (round-4 verdict item 2); the backward here is K small
+    row-indexed gathers plus one segment scatter-add.
+    """
+    return _leaf_uloc_cv(F, dt, lvdev["elem_pt"], lvdev["elem_pos"], u_vals)
 
 
 def _gather_elem(lvdev, vec, dt):
@@ -456,12 +541,73 @@ def mf_factor(static, mfdev, u_vals, dvec, rhs_elem=None, rhs_vert=None,
     quad = jnp.zeros((), dt)
     upd = None
     bupd = None
+    aug = None          # augmented fused-chain Schur carry (N, B1p, B1)
+    fuse_on = (jax.default_backend() == "tpu" and dt == jnp.float32
+               and not os.environ.get("GPV_NO_PALLAS"))
     for d in range(D, -1, -1):
         lv = levels[d]
         P = static.npiv[d]
         B = static.nbord[d]
         F = P + B
         N = lv["piv_ids"].shape[0]
+        B1 = B + 1
+        F1 = F + 1
+
+        # ---- fused Pallas chain: extend-add/assembly + factor + Schur in
+        # one VMEM-resident kernel per level (linalg/pallas_level.py); the
+        # RHS rides as an augmented border row, so y falls out of L_bp ----
+        fused_here = (fuse_on and static.fused_T[d] > 0
+                      and (d == D or aug is not None))
+        if fused_here and d == D and "epos_aug" in lv:
+            F1p = PL._ru(F1, PL._TE)
+            dfull = _piv_gather(lv, dvec, 1.0, F, dt)
+            dia = jnp.zeros((N, 8, F1p), dt).at[:, 0, :F].set(dfull)
+            if want_rhs and rhs_vert is not None:
+                dia = dia.at[:, 1, :F].set(_piv_gather(lv, rhs_vert, 0.0,
+                                                       F, dt))
+            ept = lv["elem_pt_p"]
+            uu = jnp.where((ept >= 0)[..., None],
+                           u_vals[jnp.clip(ept, 0)], 0.0).astype(dt)
+            if rhs_elem is not None:
+                re = jnp.where(ept >= 0, rhs_elem[jnp.clip(ept, 0)],
+                               0.0).astype(dt)
+            else:
+                re = jnp.zeros(ept.shape, dt)
+            u_in = jnp.concatenate([uu, re[..., None]], axis=-1)
+            L_pp, L_bp_aug, aug = PL.fused_leaf(u_in, lv["epos_aug"], dia,
+                                                P, B1, F1)
+        elif fused_here and d < D and "pl_starts" in lv:
+            F1p = PL._ru(F1, PL._TE)
+            Bc1 = static.nbord[d + 1] + 1
+            dfull = _piv_gather(lv, dvec, 1.0, F, dt)
+            dia = jnp.zeros((N, 8, F1p), dt).at[:, 0, :F].set(dfull)
+            if want_rhs and rhs_vert is not None:
+                dia = dia.at[:, 1, :F].set(_piv_gather(lv, rhs_vert, 0.0,
+                                                       F, dt))
+            ch = aug.reshape(N, 2, aug.shape[-2], aug.shape[-1])
+            L_pp, L_bp_aug, aug = PL.fused_level(
+                ch, lv["pl_starts"], lv["pl_rel"], dia, P, B1, Bc1, F1,
+                static.fused_T[d])
+        else:
+            L_pp = L_bp_aug = None
+
+        if L_pp is not None:
+            dg = jnp.diagonal(L_pp, axis1=-2, axis2=-1)
+            logdet = logdet + 2.0 * jnp.sum(jnp.log(dg))
+            out["L_pp"][d] = L_pp
+            out["L_bp"][d] = L_bp_aug[:, :B, :]
+            if want_rhs:
+                y = L_bp_aug[:, B, :]
+                out["y"][d] = y
+                quad = quad + jnp.sum(y * y)
+            continue
+
+        if aug is not None:
+            # leave the fused chain: unpack the augmented Schur carry
+            Bc = static.nbord[d + 1]
+            upd = aug[:, :Bc, :Bc]
+            bupd = aug[:, Bc, :Bc]
+            aug = None
 
         if d == D:
             nchunk = leaf_chunks if (leaf_chunks > 1 and N % leaf_chunks == 0) \

@@ -9,10 +9,11 @@ ext map (parent-front position -> child border position, -1 = absent).  The
 XLA formulation (row gather, transpose, row gather again with masks) ran at
 ~13% of HBM bandwidth (~65-128 ms per level at n=1e6/m=40); here the
 selection matrix is built on the fly in VMEM from the ext map and the
-gather becomes two MXU matmuls per child.  The one-hot operand is exact in
-bfloat16, so only the value operand needs the x3 split (asymmetric
-precision): ~3x cheaper than a full-HIGHEST product with identical f32
-results.
+gather becomes two MXU matmuls per child, at full HIGHEST precision (the
+values are f32; Mosaic rejects per-operand dot precision, so the one-hot
+operand — which would be exact even in bf16 — pays the x3 split too.  If
+per-operand precision lands, splitting only the value side would cut the
+matmul cost ~3x and move eadd_fits_vmem's crossover upward).
 
 The custom VJP is the same sandwich transposed,
     dupd[n,s] = G_{n,s}^T dfront[n] G_{n,s},

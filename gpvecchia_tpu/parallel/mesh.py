@@ -23,7 +23,7 @@ __all__ = ["make_mesh", "sharded_loglik_fn", "sharded_loglik_core",
            "shard_rows"]
 
 _ROW_KEYS = ("NN", "valid", "cond", "nb_resp", "nb_obs_pos", "has_lat",
-             "has_col", "latent_rank", "obs_pos", "pdist")
+             "has_col", "latent_rank", "obs_pos", "pdist", "nbr_pts")
 
 
 def make_mesh(devices=None, rows=None, chains=1):
@@ -48,6 +48,17 @@ def _pad_rows(plan, dev, n_dev):
             widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
             fill = False if a.dtype == bool else (-1 if jnp.issubdtype(a.dtype, jnp.integer) else 0)
             out[k] = jnp.pad(a, widths, constant_values=fill)
+    if "fused" in out:
+        # the transposed caches keep the row dimension on the LANE axis;
+        # pad it to match (vcT=False / validT=0 make the extra lanes
+        # identity-extended, so the fused kernel emits a harmless e0 there
+        # and the padded `valid` mask zeroes it in _postprocess)
+        fz = {}
+        for kk, vv in out["fused"].items():
+            widths = [(0, 0)] * (vv.ndim - 1) + [(0, pad)]
+            fill = False if vv.dtype == bool else 0
+            fz[kk] = jnp.pad(vv, widths, constant_values=fill)
+        out["fused"] = fz
     return out, n_all + pad
 
 

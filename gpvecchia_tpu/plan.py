@@ -875,10 +875,11 @@ def get_mf_plan(plan, leaf_elems=None):
     lr = plan.latent_rank.astype(np.int64)
     elem_verts = np.where(plan.cond, lr[plan.NN], -1)
     if leaf_elems is None:
-        # measured on TPU at n=1e5/m=20: 512-element leaves beat 96/256/1024
-        # (fewer extend-add levels; the deepest batched Cholesky lands in the
-        # small-batch/large-P regime where XLA's native lowering is efficient)
-        leaf_elems = 512
+        import os
+        # 128-element leaves won the round-5 sweep on the fused Pallas
+        # chain (the factor sweep's serial pivot chains shrink 4x and the
+        # kernel's node batch grows; round-4's XLA chain preferred 512)
+        leaf_elems = int(os.environ.get("GPV_MF_LEAF", 128))
     mf = build_mf_plan(elem_verts, plan.locs, plan.n_lat,
                        leaf_elems=leaf_elems)
     lat_pts = np.flatnonzero(plan.has_latent_pts)

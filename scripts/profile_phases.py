@@ -2,7 +2,9 @@
 backend (the single profiling entry point; consolidates the former
 profile_* scripts).
 
-Env knobs: N (default 100000), M (20), COND (SGV), REPS (5), DTYPE (f32).
+Env knobs: N (default 100000), M (20), COND (SGV), REPS (5), DTYPE (f32),
+TRACE (directory: capture a jax.profiler trace of the timed region, view
+with `tensorboard --logdir $TRACE` or perfetto via the generated .json.gz).
 Phases: u_entries, mf_factor (factor+forward of W), full loglik, grad.
 """
 
@@ -62,15 +64,27 @@ def _sync(out):
     return float(jnp.real(jnp.ravel(leaf)[0]))
 
 
+TRACE = os.environ.get("TRACE")
+
+
 def timed(name, fn, *args):
     t0 = time.time()
     out = fn(*args)
     _sync(out)
     t1 = time.time()
     per = []
+    if TRACE:
+        # device trace of one steady-state run per phase (annotated); the
+        # axon plugin may lack device-side tracing — host spans still land
+        import contextlib
+        trace_ctx = jax.profiler.TraceAnnotation(name)
+    else:
+        import contextlib
+        trace_ctx = contextlib.nullcontext()
     for _ in range(REPS):
         t = time.time()
-        _sync(fn(*args))
+        with trace_ctx:
+            _sync(fn(*args))
         per.append(time.time() - t)
     per_run = sorted(per)[len(per) // 2]
     print(f"{name:16s} compile+1st {t1 - t0:7.1f}s   per-run "
@@ -88,6 +102,9 @@ def f_u(dev, covparms, nuggets):
                      row_chunks=plan.compiled.get("u_row_chunks", 1),
                      fused=dev.get("fused"))[0]
 
+
+if TRACE:
+    jax.profiler.start_trace(TRACE)
 
 col = timed("u_entries", f_u, dev, covparms, nuggets)
 
@@ -109,3 +126,7 @@ timed("full loglik", f_ll, dev2, z, covparms, nuggets)
 
 f_grad = jax.jit(jax.grad(lambda d, z, c, n: core(d, z, c, n), argnums=2))
 timed("grad loglik", f_grad, dev2, z, covparms, nuggets)
+
+if TRACE:
+    jax.profiler.stop_trace()
+    print(f"trace written to {TRACE} (view: tensorboard --logdir {TRACE})")

@@ -75,9 +75,11 @@ def test_sampler_calibration_gaussian():
     for algo in ("hmc", "nuts"):
         samples, _accept, _eps = run_hmc(logpost, jnp.zeros(2),
                                          jax.random.PRNGKey(0),
-                                         num_warmup=400, num_samples=1500,
+                                         num_warmup=400, num_samples=4000,
                                          algorithm=algo)
         s = np.asarray(samples)
         emp = np.cov(s.T)
-        assert np.abs(s.mean(axis=0)).max() < 0.15, algo
-        assert np.abs(emp - np.asarray(cov)).max() < 0.2, algo
+        # tight enough to catch the pre-round-5 asymmetric-U-turn
+        # overdispersion (~0.2+ cov error) while leaving ~3 sigma of MC slack
+        assert np.abs(s.mean(axis=0)).max() < 0.1, algo
+        assert np.abs(emp - np.asarray(cov)).max() < 0.12, algo

@@ -129,3 +129,23 @@ def test_firstm_equals_lowrank_mra():
         ll_f = vecchia_likelihood(z, spec_f, COVPARMS, NUG)
         ll_m = vecchia_likelihood(z, spec_m, COVPARMS, NUG)
     np.testing.assert_allclose(ll_f, ll_m, atol=1e-9)
+
+
+def test_native_mra_tree_matches_python():
+    """csrc mra_tree is an exact behavioral twin of the Python BFS."""
+    from gpvecchia_tpu.csrc import get_lib
+    from gpvecchia_tpu.geometry.mra import build_mra_nnarray, get_mra_params
+    if get_lib() is None:
+        pytest.skip("native hostops unavailable")
+    rng = np.random.default_rng(41)
+    for n, m, opts in [(800, 10, None), (1000, 10, {"r": [0, 32]}),
+                       (900, 12, {"r": [12, 1]}), (1100, 9, {"M": 2}),
+                       (700, 8, {"J": 4})]:
+        locs = rng.uniform(size=(n, 2))
+        p = get_mra_params(n, opts, m)
+        NN_n, eff_n = build_mra_nnarray(locs, p["J"], p["M"], p["r"])
+        NN_p, eff_p = build_mra_nnarray(locs, p["J"], p["M"], p["r"],
+                                        force_python=True)
+        assert NN_n.shape == NN_p.shape
+        assert np.array_equal(NN_n, NN_p)
+        assert eff_n == eff_p
