@@ -151,6 +151,147 @@ def run_config(n, m, cond, n_evals, dtype, with_grad=False):
     return res
 
 
+def bench_extras(dtype):
+    """BASELINE configs 2-5: prediction+selinv, big grad, VL NR, MRA+NUTS.
+
+    Each piece is guarded — a failure reports NaN rather than killing the
+    headline metric.  Timings are value-readback synced.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gpvecchia_tpu import vecchia_specify
+    from gpvecchia_tpu.inference.likelihood import loglik_core
+    from gpvecchia_tpu.utils.serialize import load_spec, save_spec
+
+    out = {}
+    rng = np.random.default_rng(1988)
+
+    # ---- config 3: gradient of the north-star loglik (MLE inner loop) ----
+    try:
+        spec = load_spec("/tmp/gpv_spec_1000000_40_SGV.npz")
+        n = spec.n_obs
+        core, dev = loglik_core(spec, "matern", dtype)
+        gfn = jax.jit(jax.value_and_grad(
+            lambda d, z, c, g: core(d, z, c, g), argnums=2))
+        z = jnp.asarray(rng.normal(size=n), dtype)
+        nug = jnp.full((n,), 0.1, dtype)
+        t0 = time.time()
+        v, g = gfn(dev, z, jnp.asarray([1.0, 0.2, 0.5], dtype), nug)
+        float(v)
+        out["big_grad_compile_s"] = round(time.time() - t0, 1)
+        ts = []
+        for k in range(3):
+            t0 = time.time()
+            v, g = gfn(dev, z, jnp.asarray([1.0 + 0.01 * k, 0.2, 0.5],
+                                           dtype), nug)
+            float(v), np.asarray(g)
+            ts.append(time.time() - t0)
+        out["big_grad_ms"] = round(sorted(ts)[1] * 1e3, 1)
+    except Exception as e:
+        print(f"[bench] big grad failed: {type(e).__name__}",
+              file=sys.stderr)
+        out["big_grad_ms"] = float("nan")
+
+    # ---- config 2: prediction mean + SelInv variances at n=1e6 ----
+    try:
+        from gpvecchia_tpu.inference.prediction import _pred_fns
+        spec = load_spec("/tmp/gpv_spec_1000000_40_SGV.npz")
+        n = spec.n_obs
+        (mean_fn, var_fn), plan = _pred_fns(spec, "matern", dtype)
+        z = np.asarray(rng.normal(size=n))
+        nug = np.full(n, 0.1)
+        cp = np.array([1.0, 0.2, 0.5])
+        mu, fac = mean_fn(z, cp, nug)          # compile
+        float(jnp.ravel(mu)[0])
+        t0 = time.time()
+        mu, fac = mean_fn(z, cp, nug)
+        float(jnp.ravel(mu)[0])
+        out["pred_mean_ms"] = round((time.time() - t0) * 1e3, 1)
+        d = var_fn(fac)                        # compile
+        float(jnp.ravel(d)[0])
+        t0 = time.time()
+        d = var_fn(fac)
+        float(jnp.ravel(d)[0])
+        out["pred_selinv_ms"] = round((time.time() - t0) * 1e3, 1)
+    except Exception as e:
+        print(f"[bench] prediction failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        out["pred_mean_ms"] = out["pred_selinv_ms"] = float("nan")
+
+    # ---- config 4: one VL Newton-Raphson solve, logistic, n=1e5 ----
+    try:
+        from gpvecchia_tpu.inference.laplace import calculate_posterior_VL
+        spec = load_spec("/tmp/gpv_spec_100000_20_SGV.npz")
+        n = spec.n_obs
+        zb = (rng.uniform(size=n) < 0.5).astype(np.float64)
+        t0 = time.time()
+        post = calculate_posterior_VL(zb, spec, "logistic",
+                                      [1.0, 0.2, 0.5], max_iter=30)
+        compile_and_run = time.time() - t0
+        t0 = time.time()
+        post = calculate_posterior_VL(zb, spec, "logistic",
+                                      [1.0, 0.2, 0.5], max_iter=30)
+        vl_s = time.time() - t0
+        out["vl_nr_ms"] = round(vl_s * 1e3, 1)
+        out["vl_iters"] = int(post["iter"])
+        out["vl_iter_ms"] = round(vl_s * 1e3 / max(post["iter"], 1), 1)
+    except Exception as e:
+        print(f"[bench] VL failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        out["vl_nr_ms"] = float("nan")
+
+    # ---- config 5: MRA conditioning at n=1e6 + one NUTS transition ----
+    try:
+        cache = "/tmp/gpv_spec_1000000_40_MRA.npz"
+        t0 = time.time()
+        if os.path.exists(cache):
+            spec_m = load_spec(cache)
+        else:
+            locs = np.random.default_rng(1988).uniform(size=(1_000_000, 2))
+            spec_m = vecchia_specify(locs, m=40, conditioning="mra")
+            save_spec(spec_m, cache)
+        out["mra_spec_s"] = round(time.time() - t0, 1)
+        n = spec_m.n_obs
+        from gpvecchia_tpu.inference.likelihood import loglik_fn
+        fn = loglik_fn(spec_m, "matern", dtype=dtype)
+        z = np.asarray(rng.normal(size=n))
+        float(fn(z, jnp.asarray([1.0, 0.2, 0.5], dtype), dtype(0.1)))
+        ts = []
+        for k in range(3):
+            t0 = time.time()
+            float(fn(z, jnp.asarray([1.0 + 0.01 * k, 0.2, 0.5], dtype),
+                     dtype(0.1)))
+            ts.append(time.time() - t0)
+        out["mra_eval_ms"] = round(sorted(ts)[1] * 1e3, 1)
+        # one NUTS transition over (variance, range) at the MRA config
+        from gpvecchia_tpu.fit.mcmc import _nuts_transition
+        core, dev = loglik_core(spec_m, "matern", dtype)
+        zj = jnp.asarray(z, dtype)
+        nugv = jnp.full((n,), 0.1, dtype)
+
+        def logpost(lg):
+            th = jnp.exp(lg)
+            return core(dev, zj, jnp.stack([th[0], th[1], 0.5]), nugv)
+
+        trans = jax.jit(lambda k, th: _nuts_transition(
+            logpost, jax.grad(logpost), k, th, 0.05,
+            jnp.ones(2, dtype), 2))
+        key = jax.random.PRNGKey(0)
+        th0 = jnp.zeros(2, dtype)
+        th1, _ = trans(key, th0)
+        float(th1[0])
+        t0 = time.time()
+        th1, _ = trans(jax.random.PRNGKey(1), th0)
+        float(th1[0])
+        out["nuts_transition_ms"] = round((time.time() - t0) * 1e3, 1)
+    except Exception as e:
+        print(f"[bench] MRA/NUTS failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        out["mra_eval_ms"] = float("nan")
+    return out
+
+
 def main():
     import jax
 
@@ -176,6 +317,12 @@ def main():
         big = run_config(n, m, "SGV", int(os.environ.get("BENCH_EVALS", 6)),
                          dtype)
 
+    extras = {}
+    if not os.environ.get("BENCH_SMALL_ONLY") \
+            and not os.environ.get("BENCH_NO_EXTRAS"):
+        extras = bench_extras(dtype)
+        print(f"[bench] extras: {extras}", file=sys.stderr)
+
     vs_big = big["ref_sec"] / big["per_eval"]
     vs_small = small["ref_sec"] / small["per_eval"]
     print(f"[bench] total {time.time() - t_start:.0f}s; "
@@ -193,6 +340,7 @@ def main():
         "small_grad_ms": round(small.get("grad_eval", float("nan")) * 1e3, 2),
         "big_compile_s": round(big["compile_s"], 1),
         "big_plan_s": round(big["plan_s"], 1),
+        **extras,
     }))
 
 

@@ -309,8 +309,10 @@ class MFStatic:
     x_offsets: tuple
     x_size: int
     n_vert: int
-    fused_T: tuple = ()       # per-depth panel count for the fused kernel
-                              # (0 = level not fused; leaf: 1 = fused)
+    fused_T: tuple = ()       # per-depth panel count for the FULLY fused
+                              # kernel (0 = not fused; leaf: 1 = fused)
+    asm_T: tuple = ()         # per-depth panel count for the assembly-only
+                              # kernel (big fronts; 0 = no kernel plan)
 
 
 def mf_device_arrays(mf: MFPlan, fused=None):
@@ -330,6 +332,7 @@ def mf_device_arrays(mf: MFPlan, fused=None):
     D = mf.depth
     out = []
     fused_T = [0] * (D + 1)
+    asm_T = [0] * (D + 1)
     for d, lv in enumerate(mf.levels):
         entry = dict(
             piv_ids=jnp.asarray(lv.piv_ids),
@@ -351,23 +354,26 @@ def mf_device_arrays(mf: MFPlan, fused=None):
                 ELp = PL._ru(EL, 8)
                 ept_p = np.full((lv.elem_pt.shape[0], ELp), -1, np.int32)
                 ept_p[:, :EL] = lv.elem_pt
-                epos_aug = np.full((lv.elem_pt.shape[0], ELp, K + 1), -1,
+                # TRANSPOSED (N, K+1, ELp) layout: the kernel streams one
+                # k-row per fori step (dynamic sublane)
+                epos_aug = np.full((lv.elem_pt.shape[0], K + 1, ELp), -1,
                                    np.int32)
-                epos_aug[:, :EL, :K] = lv.elem_pos
-                epos_aug[:, :EL, K] = np.where(lv.elem_pt >= 0, F1 - 1, -1)
+                epos_aug[:, :K, :EL] = np.swapaxes(lv.elem_pos, 1, 2)
+                epos_aug[:, K, :EL] = np.where(lv.elem_pt >= 0, F1 - 1, -1)
                 entry["elem_pt_p"] = jnp.asarray(ept_p)
                 entry["epos_aug"] = jnp.asarray(epos_aug)
                 fused_T[d] = 1
-        elif fused and d < D and lv.ext is not None:
+        elif fused and d < D and lv.ext is not None and P > 0:
             Bc1 = mf.levels[d + 1].nbord + 1
-            if PL.level_fits_vmem(P, B1, Bc1) and P > 0:
-                N = lv.ext.shape[0]
-                ext_aug = np.full((N, 2, F1), -1, np.int32)
-                ext_aug[:, :, :P + B] = lv.ext
-                ext_aug[:, :, F1 - 1] = Bc1 - 1
-                starts, rel, T, _ = PL.level_kernel_plan(ext_aug, Bc1)
-                entry["pl_starts"] = jnp.asarray(starts)
-                entry["pl_rel"] = jnp.asarray(rel)
+            N = lv.ext.shape[0]
+            ext_aug = np.full((N, 2, F1), -1, np.int32)
+            ext_aug[:, :, :P + B] = lv.ext
+            ext_aug[:, :, F1 - 1] = Bc1 - 1
+            starts, rel, T, _ = PL.level_kernel_plan(ext_aug, Bc1)
+            entry["pl_starts"] = jnp.asarray(starts)
+            entry["pl_rel"] = jnp.asarray(rel)
+            asm_T[d] = T
+            if PL.level_fits_vmem(P, B1, Bc1):
                 fused_T[d] = T
         out.append(entry)
     static = MFStatic(depth=mf.depth,
@@ -375,7 +381,7 @@ def mf_device_arrays(mf: MFPlan, fused=None):
                       nbord=tuple(lv.nbord for lv in mf.levels),
                       x_offsets=tuple(int(o) for o in mf.x_offsets),
                       x_size=int(mf.x_size), n_vert=int(mf.n_vert),
-                      fused_T=tuple(fused_T))
+                      fused_T=tuple(fused_T), asm_T=tuple(asm_T))
     arrays = dict(levels=out, x_slot=jnp.asarray(mf.x_slot))
     return static, arrays
 
@@ -544,7 +550,16 @@ def mf_factor(static, mfdev, u_vals, dvec, rhs_elem=None, rhs_vert=None,
     aug = None          # augmented fused-chain Schur carry (N, B1p, B1)
     fuse_on = (jax.default_backend() == "tpu" and dt == jnp.float32
                and not os.environ.get("GPV_NO_PALLAS"))
+    stop_d = int(os.environ.get("GPV_MF_STOP", -1))  # profiling only
     for d in range(D, -1, -1):
+        if d < stop_d:
+            # profiling cutoff: consume the carry so the partial result
+            # depends on every level computed so far
+            if aug is not None:
+                logdet = logdet + 1e-30 * jnp.sum(aug[:, 0, 0])
+            elif upd is not None:
+                logdet = logdet + 1e-30 * jnp.sum(upd[:, 0, 0])
+            break
         lv = levels[d]
         P = static.npiv[d]
         B = static.nbord[d]
@@ -573,7 +588,9 @@ def mf_factor(static, mfdev, u_vals, dvec, rhs_elem=None, rhs_vert=None,
                                0.0).astype(dt)
             else:
                 re = jnp.zeros(ept.shape, dt)
-            u_in = jnp.concatenate([uu, re[..., None]], axis=-1)
+            # transposed (N, K+1, ELp) layout (see _leaf_kernel)
+            u_in = jnp.concatenate(
+                [jnp.swapaxes(uu, 1, 2), re[:, None, :]], axis=1)
             L_pp, L_bp_aug, aug = PL.fused_leaf(u_in, lv["epos_aug"], dia,
                                                 P, B1, F1)
         elif fused_here and d < D and "pl_starts" in lv:
@@ -588,6 +605,31 @@ def mf_factor(static, mfdev, u_vals, dvec, rhs_elem=None, rhs_vert=None,
             L_pp, L_bp_aug, aug = PL.fused_level(
                 ch, lv["pl_starts"], lv["pl_rel"], dia, P, B1, Bc1, F1,
                 static.fused_T[d])
+        elif (fuse_on and aug is not None and d < D
+              and static.asm_T[d] > 0 and "pl_starts" in lv):
+            # assembly kernel builds the augmented front in HBM (too big
+            # for the fully fused kernel); factor + Schur stay in XLA
+            F1p = PL._ru(F1, PL._TE)
+            Bc1 = static.nbord[d + 1] + 1
+            dfull = _piv_gather(lv, dvec, 1.0, F, dt)
+            rv = (_piv_gather(lv, rhs_vert, 0.0, F, dt)
+                  if (want_rhs and rhs_vert is not None)
+                  else jnp.zeros((N, F), dt))
+            dia = (jnp.zeros((N, 8, F1p), dt)
+                   .at[:, 0, :F].set(dfull).at[:, 1, :F].set(rv))
+            diaT = (jnp.zeros((N, F1p, 8), dt)
+                    .at[:, :F, 0].set(dfull).at[:, :F, 1].set(rv))
+            ch = aug.reshape(N, 2, aug.shape[-2], aug.shape[-1])
+            frontp = PL.assemble_fronts(ch, lv["pl_starts"], lv["pl_rel"],
+                                        dia, diaT, Bc1, F1,
+                                        static.asm_T[d])
+            frontc = frontp[:, :F1, :F1]
+            L_pp, L_bp_aug = _factor_level(frontc, P, B1)
+            upd_a = frontc[:, P:, P:] - jnp.einsum(
+                "nbp,ncp->nbc", L_bp_aug, L_bp_aug, precision=_PREC)
+            B1p = PL._ru(B1, 8)
+            aug = jnp.concatenate(
+                [upd_a, jnp.zeros((N, B1p - B1, B1), dt)], axis=1)                 if B1p > B1 else upd_a
         else:
             L_pp = L_bp_aug = None
 

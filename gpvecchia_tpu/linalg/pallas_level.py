@@ -57,8 +57,9 @@ INTERPRET = False
 _TE = 256         # extend-add output panel rows
 _TB = 128         # factor panel width
 _MW = 32          # factor micro-panel width
-_VMEM_LIMIT = 100 * 2 ** 20   # scoped VMEM request (v5e has 128 MB)
-_VMEM_BUDGET = 80 * 2 ** 20   # planning budget (head-room under the limit)
+_VMEM_LIMIT = 80 * 2 ** 20    # scoped VMEM request (v5e has 128 MB
+                              # total; leave room for XLA's own buffers)
+_VMEM_BUDGET = 64 * 2 ** 20   # planning budget (head-room under the limit)
 _MAX_GB = 16      # compile-time bound on unrolled per-step node loops
 _PREC = jax.lax.Precision.HIGHEST
 
@@ -134,10 +135,10 @@ def _level_bytes(P, B1, Bc1, GB):
                + max(Bc1p, S) * F1p    # TXB transposed
                + (P + _MW) * F1p       # LT factor
                + 2 * _TB * F1p)        # PS panel
-    # in/out blocks are double-buffered by the pipeline; the x1.7 covers
+    # in/out blocks are double-buffered by the pipeline; the x2.3 covers
     # Mosaic value temporaries (the diag/rhs add alone holds a full
     # (GB, F1p, F1p) value beside the FR scratch)
-    return int((2 * io + scratch * 1.7)) * 4 * GB
+    return int((2 * io + scratch * 2.3)) * 4 * GB
 
 
 def level_fits_vmem(P, B1, Bc1):
@@ -153,7 +154,7 @@ def _leaf_bytes(P, B1, ELp, Kp, GB):
                + F1p * F1p
                + (P + _MW) * F1p
                + 2 * _TB * F1p)
-    return int((2 * io + scratch * 1.7)) * 4 * GB
+    return int((2 * io + scratch * 2.3)) * 4 * GB
 
 
 def leaf_fits_vmem(P, B1, EL, K):
@@ -297,7 +298,11 @@ def _level_kernel(P, B1, Bc1, F1, T, S, GB,
     oh_aug = ((rI8 == r_aug) & (cI8 == c_aug)).astype(jnp.bfloat16)
 
     FR[...] = jnp.zeros_like(FR)
-    for g in range(GB):
+
+    def gbody(g, _):
+        # fori over nodes (not an unrolled Python loop): bounds the live
+        # Mosaic temporaries to one node's expansion and keeps compile
+        # size independent of GB
         for s in (0, 1):
             for t in range(T):
                 st = starts_ref[g, 0, s * T + t] * 8
@@ -325,6 +330,9 @@ def _level_kernel(P, B1, Bc1, F1, T, S, GB,
                     pan = pan + _sel_dot(
                         oh_aug, TXB[g, Bc1p - 8:Bc1p, :])
                 FR[g, pl.ds(t * _TE, _TE), :] += pan
+        return 0
+
+    jax.lax.fori_loop(0, GB, gbody, 0)
 
     FR[...] = _add_diag_rhs(GB, F1, F1p, FR[...], diag_ref)
     _factor_core(GB, P, F1p, FR, LT, PS)
@@ -446,6 +454,27 @@ def _make_fused(P, B1, Bc1, F1, T):
     return f
 
 
+def _tsolve(L, B, left_side, transpose_a):
+    """Batch-chunked triangular_solve: XLA's InvertDiagBlocksLowerTriangular
+    holds a scoped-VMEM buffer proportional to batch * P^2, which blows the
+    16 MB scoped limit at the fused chain's (1024+, P~100) bwd shapes —
+    lax.map over bounded node chunks keeps it small."""
+    N, P = L.shape[0], L.shape[-1]
+    chunk = N
+    while chunk > 1 and N % 2 == 0 and chunk * P * P > 1_000_000:
+        chunk //= 2
+    if chunk == N or N % chunk != 0:
+        return jax.lax.linalg.triangular_solve(
+            L, B, left_side=left_side, lower=True, transpose_a=transpose_a)
+    Lr = L.reshape((N // chunk, chunk) + L.shape[1:])
+    Br = B.reshape((N // chunk, chunk) + B.shape[1:])
+    out = jax.lax.map(
+        lambda ab: jax.lax.linalg.triangular_solve(
+            ab[0], ab[1], left_side=left_side, lower=True,
+            transpose_a=transpose_a), (Lr, Br))
+    return out.reshape(B.shape)
+
+
 def _diag_rhs_cotangent(dfront, F1):
     """Cotangent of the (N, 8, F1p) diag2 input given dfront (N, F1, F1).
 
@@ -471,11 +500,9 @@ def _factor_pullback(L_pp, L_bp, dL_pp, dL_bp, dupd, P, B1, F1):
     dupd_s = 0.5 * (dupd + jnp.swapaxes(dupd, 1, 2))
     dL_bp = dL_bp - 2.0 * jnp.einsum("nbc,ncp->nbp", dupd_s, L_bp,
                                      precision=_PREC)
-    dA_bp = jax.lax.linalg.triangular_solve(
-        L_pp, dL_bp, left_side=False, lower=True, transpose_a=False)
+    dA_bp = _tsolve(L_pp, dL_bp, left_side=False, transpose_a=False)
     GtLbp = jnp.einsum("nbp,nbq->npq", dL_bp, L_bp, precision=_PREC)
-    corr = jax.lax.linalg.triangular_solve(
-        L_pp, GtLbp, left_side=True, lower=True, transpose_a=True)
+    corr = _tsolve(L_pp, GtLbp, left_side=True, transpose_a=True)
     dA_pp = _chol_vjp(L_pp, jnp.tril(dL_pp) - jnp.tril(corr))
     dfront = jnp.zeros((N, F1, F1), dt)
     dfront = dfront.at[:, :P, :P].set(dA_pp)
@@ -500,10 +527,8 @@ def _chol_vjp(L, Lbar):
     dg = jnp.diagonal(M, axis1=-2, axis2=-1)
     Phi = t - 0.5 * dg[..., None] * jnp.eye(M.shape[-1], dtype=M.dtype)
     S = Phi + jnp.swapaxes(Phi, -1, -2)
-    X = jax.lax.linalg.triangular_solve(L, S, left_side=True, lower=True,
-                                        transpose_a=True)
-    dA = jax.lax.linalg.triangular_solve(L, X, left_side=False, lower=True,
-                                         transpose_a=False)
+    X = _tsolve(L, S, left_side=True, transpose_a=True)
+    dA = _tsolve(L, X, left_side=False, transpose_a=False)
     return 0.25 * (dA + jnp.swapaxes(dA, -1, -2))
 
 
@@ -514,22 +539,29 @@ def _chol_vjp(L, Lbar):
 def _leaf_kernel(P, B1, F1, Kp, GB,
                  u_ref, epos_ref, diag_ref,
                  lpp_ref, lbp_ref, upd_ref, UA, LT, FR, PS):
+    """u_ref/epos_ref come TRANSPOSED as (GB, Kp, ELp): the assembly runs
+    as a fori over k with one dynamic-sublane row per step, which bounds
+    Mosaic's live temporaries (an unrolled K-loop held every iteration's
+    (GB, ELp, F1p) mask alive and blew the scoped-VMEM budget)."""
     F1p = FR.shape[-1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, F1p), 2)
-    u = u_ref[...]
-    epos = epos_ref[...]
-    ua = jnp.zeros(UA.shape, jnp.float32)
-    for k in range(Kp):
-        ua = ua + jnp.where(lane == epos[:, :, k:k + 1],
-                            u[:, :, k:k + 1], 0.0)
-    UA[...] = ua
+    UA[...] = jnp.zeros_like(UA)
+
+    def kbody(k, _):
+        epk = jnp.swapaxes(epos_ref[:, pl.ds(k, 1), :], 1, 2)  # (GB, ELp, 1)
+        uk = jnp.swapaxes(u_ref[:, pl.ds(k, 1), :], 1, 2)
+        UA[...] = UA[...] + jnp.where(lane == epk, uk, 0.0)
+        return 0
+
+    jax.lax.fori_loop(0, Kp, kbody, 0)
+    ua = UA[...]
     FR[...] = _add_diag_rhs(GB, F1, F1p, _dot(ua, ua, 0, 0), diag_ref)
     _factor_core(GB, P, F1p, FR, LT, PS)
     _finish(GB, P, B1, F1, FR, LT, lpp_ref, lbp_ref, upd_ref)
 
 
 def _leaf_impl(u, epos, diag2, P, B1, F1):
-    N, ELp, Kp = u.shape
+    N, Kp, ELp = u.shape
     dt = u.dtype
     F1p = _ru(F1, _TE)
     B1p = _ru(B1, 8)
@@ -541,9 +573,9 @@ def _leaf_impl(u, epos, diag2, P, B1, F1):
                    jax.ShapeDtypeStruct((N, B1, P), dt),
                    jax.ShapeDtypeStruct((N, B1p, B1), dt)),
         grid=(N // GB,),
-        in_specs=[pl.BlockSpec((GB, ELp, Kp), lambda i: (i, 0, 0),
+        in_specs=[pl.BlockSpec((GB, Kp, ELp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((GB, ELp, Kp), lambda i: (i, 0, 0),
+                  pl.BlockSpec((GB, Kp, ELp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((GB, 8, F1p), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
@@ -568,9 +600,9 @@ def _leaf_impl(u, epos, diag2, P, B1, F1):
 def fused_leaf(u, epos, diag2, P, B1, F1):
     """Differentiable fused leaf step.
 
-    u: (N, ELp, Kp) localized element values with column Kp-1 = the RHS
-    weights (rhs_elem); epos: (N, ELp, Kp) int32 front positions (-1
-    invalid; column Kp-1 = F1-1 at real elements).  diag2 as fused_level.
+    u: (N, Kp, ELp) TRANSPOSED localized element values with row Kp-1 the
+    RHS weights (rhs_elem); epos: (N, Kp, ELp) int32 front positions (-1
+    invalid; row Kp-1 = F1-1 at real elements).  diag2 as fused_level.
     Returns (L_pp, L_bp_aug, upd_aug).
     """
     return _make_leaf(P, B1, F1)(u, epos, diag2)
@@ -590,23 +622,217 @@ def _make_leaf(P, B1, F1):
     def bwd(res, cts):
         L_pp, L_bp, upd_aug, u, epos = res
         dL_pp, dL_bp, dupd = cts
-        N, ELp, Kp = u.shape
+        N, Kp, ELp = u.shape
         dfront = _factor_pullback(L_pp, L_bp, dL_pp, dL_bp, dupd, P, B1, F1)
         # front = U^T U => dU = 2 U dfront_sym; U recomputed (residual = u)
         lane = jnp.arange(F1, dtype=jnp.int32)
         ua = jnp.zeros((N, ELp, F1), u.dtype)
         for k in range(Kp):
-            ua = ua + jnp.where(lane[None, None, :] == epos[:, :, k:k + 1],
-                                u[:, :, k:k + 1], 0.0)
+            ua = ua + jnp.where(
+                lane[None, None, :] == epos[:, k, :, None],
+                u[:, k, :, None], 0.0)
         dua = 2.0 * jnp.einsum("nef,nfg->neg", ua, dfront, precision=_PREC)
         ar_n = jnp.arange(N)[:, None]
         ar_e = jnp.arange(ELp)[None, :]
         du = jnp.stack(
-            [dua[ar_n, ar_e, jnp.clip(epos[:, :, k], 0)] for k in range(Kp)],
-            axis=-1)
+            [dua[ar_n, ar_e, jnp.clip(epos[:, k, :], 0)] for k in range(Kp)],
+            axis=1)
         du = jnp.where(epos >= 0, du, 0.0)
         return (du, np.zeros(epos.shape, jax.dtypes.float0),
                 _diag_rhs_cotangent(dfront, F1))
+
+    f.defvjp(fwd, bwd)
+    return f
+
+# --------------------------------------------------------------------------
+# assembly-only kernel: big levels whose fronts exceed VMEM
+# --------------------------------------------------------------------------
+
+def _afront_kernel(Bc1, F1, T, S, t_aug, r_aug, c_aug,
+                   starts_ref, rel_ref, blocks_ref, augrows_ref,
+                   diag2_ref, diagT_ref, front_ref, TXB):
+    """One (node, row-panel) grid step: expand both children's pre-gathered
+    slabs into front rows [t*TE, (t+1)*TE) x F1p and add diag/rhs terms.
+
+    The front lands in HBM (it exceeds VMEM at these levels); the win over
+    the round-4 XLA gather path is that no row-granular gathers and no
+    (N, F, Bc) gather/transpose intermediates exist — children are read
+    ~once as contiguous blocks, the front written once.
+    """
+    t = pl.program_id(1)
+    F1p = front_ref.shape[-1]
+    Bc1p = _ru(Bc1, 8)
+    ivS = jax.lax.broadcasted_iota(jnp.int32, (_TE, S), 1)
+    rI8 = jax.lax.broadcasted_iota(jnp.int32, (_TE, 8), 0)
+    cI8 = jax.lax.broadcasted_iota(jnp.int32, (_TE, 8), 1)
+    oh_aug = ((rI8 == r_aug) & (cI8 == c_aug)).astype(jnp.bfloat16)
+    is_aug = jnp.where(t == t_aug, 1.0, 0.0).astype(jnp.float32)
+
+    acc = jnp.zeros((_TE, F1p), jnp.float32)
+    for s in (0, 1):
+        rel_row = rel_ref[0, pl.ds(s * T + t, 1), :][0]      # (TE,)
+        oh = (rel_row[:, None] == ivS).astype(jnp.bfloat16)
+        slab = blocks_ref[0, s, 0]                           # (S, Bc1)
+        rexp = _sel_dot(oh, slab)                            # (TE, Bc1)
+        rexp = rexp + is_aug * _sel_dot(oh_aug, augrows_ref[0, s])
+        txt = rexp.T                                         # (Bc1, TE)
+        nz = TXB.shape[0] - Bc1
+        if nz > 0:
+            txt = jnp.concatenate(
+                [txt, jnp.zeros((nz, _TE), jnp.float32)], axis=0)
+        TXB[...] = txt
+        tiles = []
+        for tc in range(T):
+            st2 = starts_ref[0, 0, s * T + tc] * 8
+            relc = rel_ref[0, s * T + tc, :]                 # (TE,)
+            ohc = (relc[:, None] == ivS).astype(jnp.bfloat16)
+            colslab = TXB[pl.ds(st2, S), :]                  # (S, TE)
+            blockT = _sel_dot(ohc, colslab)                  # (TE_f2, TE_f1)
+            aug_colslab = TXB[Bc1p - 8:Bc1p, :]              # (8, TE)
+            if tc == t_aug:
+                blockT = blockT + _sel_dot(oh_aug, aug_colslab)
+            tiles.append(blockT.T)
+        acc = acc + jnp.concatenate(tiles, axis=1)
+
+    # diagonal + rhs row/col + unit pad diagonal
+    rI = jax.lax.broadcasted_iota(jnp.int32, (_TE, F1p), 0)
+    cI = jax.lax.broadcasted_iota(jnp.int32, (_TE, F1p), 1)
+    gr = rI + t * _TE
+    dvals = diagT_ref[0, pl.ds(t * _TE, _TE), :]             # (TE, 8)
+    i8 = jax.lax.broadcasted_iota(jnp.int32, (_TE, 8), 1)
+    dcol = jnp.sum(jnp.where(i8 == 0, dvals, 0.0), axis=1, keepdims=True)
+    rcol = jnp.sum(jnp.where(i8 == 1, dvals, 0.0), axis=1, keepdims=True)
+    acc = acc + jnp.where(cI == gr, dcol, 0.0)
+    acc = acc + jnp.where(cI == F1 - 1, rcol, 0.0)
+    rv_lanes = diag2_ref[0, 1, :]                            # (F1p,)
+    acc = acc + jnp.where(gr == F1 - 1, rv_lanes[None, :], 0.0)
+    acc = acc + jnp.where((cI == gr) & (gr >= F1), 1.0, 0.0)
+    front_ref[0] = acc
+
+
+def _afront_impl(ch, starts, rel, diag2, diagT, Bc1, F1, T):
+    N = ch.shape[0]
+    Bc1p = ch.shape[2]
+    dt = ch.dtype
+    F1p = _ru(F1, _TE)
+    S = _srows(Bc1)
+    Tp = rel.shape[1]
+    t_aug = (F1 - 1) // _TE
+    r_aug = (F1 - 1) % _TE
+    c_aug = (Bc1 - 1) - (Bc1p - 8)
+
+    # pre-gather the per-(node, child, panel) contiguous child slabs: a few
+    # hundred BLOCK-granular fetches (row-granular gathers are ~10x off the
+    # streaming rate on this part)
+    ch2 = ch.reshape(N * 2, Bc1p, Bc1)
+    ns = jnp.repeat(jnp.arange(N * 2, dtype=jnp.int32), T)
+    st8 = starts.reshape(N * 2 * T) * 8
+    idx = jnp.stack([ns, st8], axis=1)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(0,), start_index_map=(0, 1))
+    blocks = jax.lax.gather(ch2, idx, dn, (1, S, Bc1),
+                            mode="clip")                     # (N2T, S, Bc1)
+    blocks = blocks.reshape(N, 2, T, S, Bc1)
+    augrows = ch.reshape(N, 2, Bc1p, Bc1)[:, :, Bc1p - 8:, :]
+
+    kern = functools.partial(_afront_kernel, Bc1, F1, T, S,
+                             t_aug, r_aug, c_aug)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((N, F1p, F1p), dt),
+        grid=(N, T),
+        in_specs=[pl.BlockSpec((1, 1, 2 * T), lambda n, t: (n, 0, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec((1, Tp, _TE), lambda n, t: (n, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 2, 1, S, Bc1),
+                               lambda n, t: (n, 0, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 2, 8, Bc1), lambda n, t: (n, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 8, F1p), lambda n, t: (n, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, F1p, 8), lambda n, t: (n, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, _TE, F1p), lambda n, t: (n, t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((max(Bc1p, S), _TE), dt)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=INTERPRET,
+    )(starts, rel, blocks, augrows, diag2, diagT)
+
+
+def assemble_fronts(ch, starts, rel, diag2, diagT, Bc1, F1, T):
+    """Extend-add both children into HBM-resident augmented fronts.
+
+    ch: (N, 2, Bc1p, Bc1) children Schur updates (aug RHS row at Bc1-1);
+    diag2: (N, 8, F1p) rows 0/1 = diag adds / rhs_vert; diagT: the same
+    two vectors transposed to (N, F1p, 8) (cols 0/1) so the kernel can
+    slice them per row-panel.  Returns (N, F1p, F1p) fronts (rows/cols
+    >= F1 carry a unit diagonal).  Differentiable in ch and diag2.
+    """
+    return _make_afront(Bc1, F1, T)(ch, starts, rel, diag2, diagT)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_afront(Bc1, F1, T):
+
+    @jax.custom_vjp
+    def f(ch, starts, rel, diag2, diagT):
+        return _afront_impl(ch, starts, rel, diag2, diagT, Bc1, F1, T)
+
+    def fwd(ch, starts, rel, diag2, diagT):
+        return f(ch, starts, rel, diag2, diagT), (starts, rel, ch.shape)
+
+    def bwd(res, dfront):
+        starts, rel, ch_shape = res
+        N = ch_shape[0]
+        Bc1p = ch_shape[2]
+        dt = dfront.dtype
+        dfront = dfront[:, :F1, :F1]
+        dfront = 0.5 * (dfront + jnp.swapaxes(dfront, 1, 2))
+        ext = _ext_from_plan(starts, rel, T, F1)
+        ext = ext.at[:, :, F1 - 1].set(Bc1 - 1)
+        ar = jnp.arange(N)[:, None]
+        dch = []
+        for s in (0, 1):
+            g = ext[:, s]
+            ok = g >= 0
+            inv = jnp.full((N, Bc1), -1, jnp.int32)
+            inv = inv.at[ar, jnp.where(ok, g, Bc1).astype(jnp.int32)].set(
+                jnp.broadcast_to(jnp.arange(F1, dtype=jnp.int32)[None],
+                                 (N, F1)), mode="drop")
+            okc = inv >= 0
+            ic = jnp.clip(inv, 0)
+            rows = jnp.where(okc[:, :, None], dfront[ar, ic], 0.0)
+            rt = jnp.swapaxes(rows, 1, 2)
+            sub = jnp.where(okc[:, :, None],
+                            jnp.swapaxes(rt[ar, ic], 1, 2), 0.0)
+            if Bc1p > Bc1:
+                sub = jnp.concatenate(
+                    [sub, jnp.zeros((N, Bc1p - Bc1, Bc1), dt)], axis=1)
+            dch.append(sub)
+        dch = jnp.stack(dch, axis=1)
+        F1p = _ru(F1, _TE)
+        dd = jnp.diagonal(dfront, axis1=1, axis2=2)
+        drv = dfront[:, F1 - 1, :] + dfront[:, :, F1 - 1]
+        ddiag2 = jnp.zeros((N, 8, F1p), dt)
+        ddiag2 = ddiag2.at[:, 0, :F1].set(dd)
+        ddiag2 = ddiag2.at[:, 1, :F1].set(drv)
+        ddiagT = jnp.zeros((N, F1p, 8), dt)
+        ddiagT = ddiagT.at[:, :F1, 0].set(dd)
+        ddiagT = ddiagT.at[:, :F1, 1].set(drv)
+        # the kernel reads the DIAGONAL add from diagT col 0 and the rhs
+        # COLUMN from diagT col 1, but the rhs ROW from diag2 row 1: route
+        # half of drv to each so d(rhs_vert) sums correctly in the caller
+        ddiag2 = ddiag2.at[:, 1, :F1].set(0.5 * drv)
+        ddiag2 = ddiag2.at[:, 0, :F1].set(0.0)
+        ddiagT = ddiagT.at[:, :F1, 1].set(0.5 * drv)
+        return (dch,
+                np.zeros(starts.shape, jax.dtypes.float0),
+                np.zeros(rel.shape, jax.dtypes.float0),
+                ddiag2, ddiagT)
 
     f.defvjp(fwd, bwd)
     return f

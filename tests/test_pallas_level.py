@@ -197,7 +197,8 @@ def _dense_leaf_front(u, epos, diag, rhs, F1):
 def test_fused_leaf_matches_dense():
     u, epos, diag, rhs, diag2, P, B1, F1 = _mk_leaf_inputs()
     L_pp, L_bp, upd = PL.fused_leaf(
-        jnp.asarray(u), jnp.asarray(epos), jnp.asarray(diag2), P, B1, F1)
+        jnp.asarray(np.swapaxes(u, 1, 2)),
+        jnp.asarray(np.swapaxes(epos, 1, 2)), jnp.asarray(diag2), P, B1, F1)
     front = _dense_leaf_front(u, epos, diag, rhs, F1)
     L_pp_r, L_bp_r, upd_r = _dense_factor(front, P)
     np.testing.assert_allclose(np.asarray(L_pp), np.asarray(L_pp_r),
@@ -213,7 +214,9 @@ def test_fused_leaf_vjp_matches_autodiff():
 
     def loss_fused(uin):
         L_pp, L_bp, upd = PL.fused_leaf(
-            uin, jnp.asarray(epos), jnp.asarray(diag2), P, B1, F1)
+            jnp.swapaxes(uin, 1, 2),
+            jnp.asarray(np.swapaxes(epos, 1, 2)),
+            jnp.asarray(diag2), P, B1, F1)
         return (jnp.sum(jnp.log(jnp.diagonal(L_pp, axis1=1, axis2=2)))
                 + jnp.sum(jnp.cos(L_bp)) + jnp.sum(jnp.sin(upd[:, :B1])))
 
@@ -260,3 +263,48 @@ def test_fused_level_matches_dense_large_panels():
                                rtol=0, atol=5e-3)
     np.testing.assert_allclose(np.asarray(upd)[:, :B1, :],
                                np.asarray(upd_r), rtol=0, atol=5e-3)
+
+
+def test_assemble_fronts_matches_dense():
+    """The assembly-only kernel (big levels) builds the same augmented
+    front as the dense reference, including diag/rhs adds and padding."""
+    (ch, chp, ext, starts, rel, T, F1p, diag, rhs, diag2,
+     P, B1, Bc1, F1) = _mk_level_inputs(seed=13, N=2, P=40, B=280, Bc=300)
+    diagT = np.zeros((2, F1p, 8), np.float32)
+    diagT[:, :F1, 0] = diag
+    diagT[:, :F1, 1] = rhs
+    front = PL.assemble_fronts(
+        jnp.asarray(chp), jnp.asarray(starts), jnp.asarray(rel),
+        jnp.asarray(diag2), jnp.asarray(diagT), Bc1, F1, T)
+    ref = _dense_level(jnp.asarray(ch), ext, jnp.asarray(diag),
+                       jnp.asarray(rhs), P, F1)
+    np.testing.assert_allclose(np.asarray(front)[:, :F1, :F1],
+                               np.asarray(ref), rtol=0, atol=2e-4)
+    # pad region carries the unit diagonal
+    fr = np.asarray(front)
+    assert np.allclose(np.diagonal(fr, axis1=1, axis2=2)[:, F1:], 1.0)
+
+    # VJP vs autodiff of the dense formulation (wrt children)
+    w = np.random.default_rng(3).normal(size=(2, F1, F1)).astype(np.float32)
+
+    def loss_fused(chin):
+        f = PL.assemble_fronts(chin, jnp.asarray(starts), jnp.asarray(rel),
+                               jnp.asarray(diag2), jnp.asarray(diagT),
+                               Bc1, F1, T)
+        return jnp.sum(jnp.asarray(w) * f[:, :F1, :F1])
+
+    def loss_dense(chin):
+        chd = chin[:, :, :Bc1, :]
+        oh = (jnp.asarray(ext)[..., None]
+              == jnp.arange(Bc1)[None, None, None, :]).astype(jnp.float32)
+        f = jnp.einsum("nsfb,nsbc,nsgc->nfg", oh, chd, oh)
+        return jnp.sum(jnp.asarray(w) * f)
+
+    chj = jnp.asarray(chp)
+    g1 = jax.grad(loss_fused)(chj)
+    g2 = jax.grad(loss_dense)(chj)
+    g1s = np.asarray(g1)[:, :, :Bc1, :]
+    g2s = np.asarray(g2)[:, :, :Bc1, :]
+    np.testing.assert_allclose(0.5 * (g1s + np.swapaxes(g1s, 2, 3)),
+                               0.5 * (g2s + np.swapaxes(g2s, 2, 3)),
+                               rtol=0, atol=5e-3)
