@@ -402,23 +402,58 @@ def zero_nugget_variant(spec, nuggets):
     key = ("zero_variant", zero.tobytes())
 
     def build():
-        if spec.cond_yz in ("zy", "RVP", "LK") or spec.ic0 or (
-                spec.n_pred > 0 and spec.ordering_pred == "obspred"):
-            raise NotImplementedError(
-                "zero nuggets are supported on the general ('chol') path; "
-                "not with the zy family, ic0, or obspred prediction ordering")
-        obs_pos = spec.obs_pos
+        import dataclasses
         zero_by_pos = zero[spec.ord_z]
+        if spec.cond_yz in ("zy", "RVP", "LK"):
+            # Response-first layout: the observation lives on the response
+            # point k < n and its latent twin is t = k + n.  With a zero
+            # nugget y_t == z_k, so the twin's latent is deleted, any
+            # conditioning on y_t is redirected to the (known) response
+            # z_k, and the twin keeps a 'known' U column p(y_t = z_k | nb)
+            # whose self slot points at k (same location) with the
+            # degenerate own-z slot removed — the index surgery the
+            # reference does by deleting Inf-diagonal rows and permuting
+            # (/root/reference/R/createU.R:173-193).  The known column
+            # conditions on neighbor RESPONSES (LK-style): it must carry no
+            # latent rows, or it would add u u^T to W and break the
+            # direct-mode identity V = rev(U_y) — the reference's own path
+            # here builds the column from a singular duplicate-location
+            # covariance, which this design avoids.
+            n = spec.n_obs
+            zpts = np.flatnonzero(zero_by_pos)
+            twins = zpts + n
+            NN = spec.NNarray.copy()
+            cond = spec.cond_latent.copy()
+            is_twin = np.zeros(spec.n_all, bool)
+            is_twin[twins] = True
+            hit = (NN >= 0) & is_twin[np.maximum(NN, 0)]
+            NN = np.where(hit, NN - n, NN)
+            cond = np.where(hit, False, cond)
+            NN[twins, 0] = zpts
+            NN[twins, 1] = -1          # own-z slot: duplicate location
+            tw = NN[twins]
+            assert not np.any(tw >= 2 * n), \
+                "zero-nugget twin conditions on a prediction latent"
+            NN[twins] = np.where(tw >= n, tw - n, tw)
+            cond[twins] = False
+            has_latent = spec.has_latent.copy()
+            has_latent[twins] = False
+            known = np.zeros(spec.n_all, bool)
+            known[twins] = True
+            return dataclasses.replace(
+                spec, NNarray=NN, cond_latent=cond & (NN >= 0),
+                has_latent=has_latent, known_pts=known,
+                zero_obs_mask=zero_by_pos, _cache={})
+        obs_pos = spec.obs_pos
         is_zero = spec.has_obs & np.where(
             obs_pos >= 0, zero_by_pos[np.maximum(obs_pos, 0)], False)
         NN = spec.NNarray
         valid = NN >= 0
         zero_nb = np.where(valid, is_zero[np.maximum(NN, 0)], False)
-        import dataclasses
         return dataclasses.replace(
             spec, cond_latent=spec.cond_latent & ~zero_nb,
             has_latent=spec.has_latent & ~is_zero,
-            known_pts=is_zero, _cache={})
+            known_pts=is_zero, zero_obs_mask=zero_by_pos, _cache={})
 
     return spec.cached(key, build)
 

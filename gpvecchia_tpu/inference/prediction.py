@@ -134,11 +134,24 @@ def _pred_fns(spec, covmodel, dtype=None):
     return fns, plan
 
 
-def _extract(spec, values_ord):
-    """Latent ordered-sequence values -> (obs part, pred part) original order."""
+def _extract(spec, values_ord, known_vals=None):
+    """Latent ordered-sequence values -> (obs part, pred part) original order.
+
+    Accepts either one value per ordered location (the usual case) or one
+    per latent variable when the zero-nugget variant removed latents — then
+    the known locations are filled from `known_vals` (aligned with
+    np.flatnonzero(spec.known_pts))."""
     n = spec.n_obs
-    n_all_locs = spec.ord.shape[0]
-    out = np.empty(n_all_locs, dtype=np.float64)
+    n_locs = spec.ord.shape[0]
+    values_ord = np.asarray(values_ord, dtype=np.float64)
+    if values_ord.shape[0] != n_locs:
+        off = spec.n_all - n_locs       # zy layout: latent twin of loc j is n+j
+        vals = np.full(n_locs, np.nan)
+        vals[spec.latent_point - off] = values_ord
+        kn = np.flatnonzero(spec.known_pts)
+        vals[kn - off] = known_vals
+        values_ord = vals
+    out = np.empty(n_locs, dtype=np.float64)
     out[spec.ord] = values_ord
     return out[:n], out[n:]
 
@@ -163,8 +176,14 @@ def vecchia_prediction(z, spec, covparms, nuggets, var_exact=None,
         z = np.where(np.isnan(z), np.nanmean(z), z)
     # infinite nuggets (unobserved pseudo-data) pass through harmlessly
 
+    known_mu = None
+    if spec.known_pts is not None and spec.known_pts.any():
+        # exact observations: posterior mean is the datum, variance 0
+        kn = np.flatnonzero(spec.known_pts)
+        zord = z[spec.ord_z]
+        known_mu = zord[spec.obs_pos[spec.NNarray[kn, 0]]]
     mu_ord, v_flat = mean_fn(z, np.asarray(covparms, np.float64), nuggets)
-    mu_obs, mu_pred = _extract(spec, np.asarray(mu_ord))
+    mu_obs, mu_pred = _extract(spec, np.asarray(mu_ord), known_mu)
     out = {"mu_obs": mu_obs, "mu_pred": mu_pred,
            "var_obs": None, "var_pred": None, "V": None}
     if return_values in ("meanmat", "all"):
@@ -177,7 +196,9 @@ def vecchia_prediction(z, spec, covparms, nuggets, var_exact=None,
             # the exact path well past the reference's 4e4 auto-threshold
             var_exact = spec.n_pred < 2e5
         vars_ord = np.asarray(var_fn(v_flat))
-        var_obs, var_pred = _extract(spec, vars_ord)
+        var_obs, var_pred = _extract(
+            spec, vars_ord,
+            0.0 if known_mu is None else np.zeros_like(known_mu))
         if var_exact and spec.ordering_pred == "obspred" and spec.n_pred > 0:
             # exact path recomputes prediction variances by per-column solves;
             # obs variances stay from the selected inverse (as in the
@@ -196,9 +217,15 @@ def _exact_pred_vars(spec, plan, v_flat):
     prediction latent variables, returned in original pred order.
     """
     n = plan.n_lat
-    # ordered-sequence positions of prediction points -> rev positions
+    # ordered-sequence positions of prediction points -> latent ranks ->
+    # rev positions (ranks shift when the zero-nugget variant removes
+    # known latents, so go through latent_rank rather than assuming
+    # location position == rank)
     pred_seq = np.flatnonzero(spec.ord >= spec.n_obs)  # positions in ordered seq
-    rev_pos = n - 1 - pred_seq
+    off = spec.n_all - spec.ord.shape[0]
+    ranks = spec.latent_rank[pred_seq + off]
+    assert np.all(ranks >= 0)
+    rev_pos = n - 1 - ranks
 
     def one(p):
         b = jnp.zeros(n, v_flat.dtype).at[p].set(1.0)

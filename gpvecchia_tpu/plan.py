@@ -651,8 +651,11 @@ def build_likelihood_plan(spec, dtype=np.float32) -> LikelihoodPlan:
     if known is None:
         known = np.zeros(n_all, dtype=bool)
     plan.known_pts = known
-    zero_obs = np.zeros(n_obs, dtype=bool)
-    zero_obs[obs_pos[known & has_obs]] = True
+    if spec.zero_obs_mask is not None:
+        zero_obs = np.asarray(spec.zero_obs_mask, dtype=bool).copy()
+    else:
+        zero_obs = np.zeros(n_obs, dtype=bool)
+        zero_obs[obs_pos[known & has_obs]] = True
     plan.zero_obs = zero_obs
     if mode == "obspred":
         plan.n_pred_lat = n_lat - int(has_lat[:spec.n_obs].sum())
@@ -689,8 +692,11 @@ def _build_v_machinery(plan, spec):
     latent_rank = spec.latent_rank
     obs_pos = spec.obs_pos
     revlat = np.where(has_lat, n_lat - 1 - latent_rank, -1)
+    known = plan.known_pts if plan.known_pts is not None \
+        else np.zeros(n_all, dtype=bool)
+    has_col = has_lat | known
     u_rows_rev = np.where(cond, revlat[NN_c], -1)
-    u_rows_rev = np.where(has_lat[:, None], u_rows_rev, -1)
+    u_rows_rev = np.where(has_col[:, None], u_rows_rev, -1)
 
     # ---- decide which latent columns are 'direct' vs 'chol' ----
     # direct cols occupy the leading rev block [0, rev_offset), chol columns
@@ -723,7 +729,14 @@ def _build_v_machinery(plan, spec):
 
     # ---- chol columns: W pattern + symbolic factorization (A-space) ----
     if n_A > 0:
-        contrib = has_lat & (latent_rank >= 0) & (latent_rank < n_A)
+        # known (zero-nugget) columns are not V columns but still add
+        # u u^T to W over their latent-conditioned rows — all of which sit
+        # in the A block (obs rows never condition on pred latents)
+        contrib = (has_lat & (latent_rank >= 0)
+                   & (latent_rank < n_A)) | known
+        assert not np.any((u_rows_rev[known] >= 0)
+                          & (u_rows_rev[known] < rev_offset)), \
+            "known column conditions on a direct-block latent"
         rr_all = np.where(contrib[:, None], u_rows_rev - rev_offset, -1)
         iu, ju = np.triu_indices(mp1)
         # W pattern from contributing U-column pairs (chunked)
@@ -830,9 +843,10 @@ def _build_v_machinery(plan, spec):
             np.concatenate(tg_l), np.concatenate(pa_l), np.concatenate(pb_l),
             plan.v_phys_size)
 
-    # ---- z2 schedule: z2[r] = sum col[p,a]*z1L[p] - z1Z[o]/sqrt(nug)@own ----
+    # ---- z2 schedule: z2[r] = sum col[p,a]*z1L[p] - z1Z[o]/sqrt(nug)@own
+    # (known zero-nugget columns contribute through their latent rows too) ----
     off_one_z = n_all * mp1
-    src = cond & has_lat[:, None]
+    src = cond & has_col[:, None]
     pidx, aidx = np.nonzero(src)
     tgt_z = latent_rank[NN_c[pidx, aidx]].astype(np.int64)
     pa_z = pidx * mp1 + aidx

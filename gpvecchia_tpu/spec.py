@@ -59,6 +59,12 @@ class VecchiaSpec:
     # latent is known, so they behave as response-type columns; reference
     # handles this by row deletion + permutation, R/createU.R:83-86,173-193)
     known_pts: np.ndarray | None = None
+    # (n_obs,) ordered-position mask of exact observations; when None the
+    # plan derives it as known_pts & has_obs (correct for the standard
+    # layout, where the known point carries the observation itself — the zy
+    # family keeps the observation on the response point and marks the
+    # latent twin known, so it must set this explicitly)
+    zero_obs_mask: np.ndarray | None = None
 
     # ---- derived, cached ----
     _cache: dict = dataclasses.field(default_factory=dict, repr=False)

@@ -29,10 +29,23 @@ def matern_np(D, covparms):
 
 
 def build_dense_U(spec, covparms, nuggets, kernel=matern_np):
-    """Dense U matrix + row maps, mirroring createU."""
+    """Dense U matrix + row maps, mirroring createU.
+
+    Supports the zero-nugget variant spec (known_pts / zero_obs_mask set by
+    zero_nugget_variant): a 'known' point gets a non-latent row whose value
+    is the exact observation of the point its self slot references, and the
+    Inf-diagonal z-row of an exact observation is deleted, mirroring
+    /root/reference/R/createU.R:173-193.  Returns (U, latent, lat_row,
+    obs_row, val_obs_pos) where val_obs_pos[r] gives the obs position whose
+    z-value each non-latent row carries (-1 for latent rows).
+    """
     n_all = spec.n_all
     has_lat = spec.has_latent
     has_obs = spec.has_obs
+    known = spec.known_pts if spec.known_pts is not None \
+        else np.zeros(n_all, bool)
+    zero_obs = spec.zero_obs_mask if spec.zero_obs_mask is not None \
+        else np.zeros(spec.n_obs, bool)
     NN = spec.NNarray
     cond = spec.cond_latent
     locs = spec.locsord
@@ -46,15 +59,28 @@ def build_dense_U(spec, covparms, nuggets, kernel=matern_np):
     for k in range(n_all):
         if has_lat[k]:
             lat_row[k] = cur; cur += 1
-        if has_obs[k]:
+        if has_obs[k] and not (obs_pos[k] >= 0 and zero_obs[obs_pos[k]]
+                               and not known[k]):
+            # the z-row of an exact observation is deleted unless the point
+            # itself is the known column (standard layout: one row total)
             obs_row[k] = cur; cur += 1
+        elif known[k] and not has_obs[k]:
+            obs_row[k] = cur; cur += 1     # zy twin: known non-obs row
     size = cur
     U = np.zeros((size, size))
     latent = np.zeros(size, bool)
     latent[lat_row[lat_row >= 0]] = True
+    val_obs_pos = np.full(size, -1)
+
+    # value_row[k]: the row carrying point k's observed value — its own
+    # obs row, or (zy layout, deleted z-row) its known twin's merged row
+    value_row = obs_row.copy()
+    for k in range(n_all):
+        if known[k] and not has_obs[k]:
+            value_row[NN[k, 0]] = obs_row[k]
 
     for k in range(n_all):
-        if has_lat[k]:
+        if has_lat[k] or known[k]:
             inds = NN[k][NN[k] >= 0]
             ck = cond[k][NN[k] >= 0]
             C = kernel(cdist(locs[inds], locs[inds]), covparms)
@@ -62,14 +88,21 @@ def build_dense_U(spec, covparms, nuggets, kernel=matern_np):
             C = C + np.diag(nugv)
             x = np.linalg.solve(C, np.eye(len(inds))[:, 0])
             colv = x / np.sqrt(x[0])
-            rows = np.where(ck, lat_row[inds], obs_row[inds])
-            U[rows, lat_row[k]] = colv
-        if has_obs[k]:
+            col_row = lat_row[k] if has_lat[k] else obs_row[k]
+            rows = np.where(ck, lat_row[inds], value_row[inds])
+            if known[k]:
+                rows = np.where(np.arange(len(inds)) == 0, col_row, rows)
+            assert np.all(rows >= 0)
+            U[rows, col_row] = colv
+        if has_obs[k] and obs_row[k] >= 0 and not known[k]:
             p = obs_pos[k]
             if has_lat[k]:
                 U[lat_row[k], obs_row[k]] = -1.0 / np.sqrt(nug_ord[p])
             U[obs_row[k], obs_row[k]] = 1.0 / np.sqrt(nug_ord[p])
-    return U, latent, lat_row, obs_row
+        if obs_row[k] >= 0:
+            val_obs_pos[obs_row[k]] = obs_pos[k] if has_obs[k] \
+                else obs_pos[NN[k, 0]]
+    return U, latent, lat_row, obs_row, val_obs_pos
 
 
 def rev_mat(M):
@@ -79,10 +112,11 @@ def rev_mat(M):
 def dense_loglik(z, spec, covparms, nuggets, kernel=matern_np,
                  return_intermediates=False):
     """vecchia_likelihood_U on the dense U."""
-    U, latent, lat_row, obs_row = build_dense_U(spec, covparms, nuggets, kernel)
+    U, latent, lat_row, obs_row, vop = build_dense_U(spec, covparms, nuggets,
+                                                     kernel)
     zord = np.asarray(z, float)[spec.ord_z]
-    const = (~latent).sum() * np.log(2 * np.pi)
-    z1 = U[~latent, :].T @ zord
+    const = spec.n_obs * np.log(2 * np.pi)
+    z1 = U[~latent, :].T @ zord[vop[~latent]]
     quad_num = float(z1 @ z1)
     logdet_num = -2 * np.sum(np.log(np.diag(U)))
     Uy = U[latent, :]
@@ -103,19 +137,30 @@ def dense_loglik(z, spec, covparms, nuggets, kernel=matern_np,
 
 def dense_posterior(z, spec, covparms, nuggets, kernel=matern_np):
     """Posterior mean/vars via dense U -> V (mirrors vecchia_prediction)."""
-    U, latent, lat_row, obs_row = build_dense_U(spec, covparms, nuggets, kernel)
+    U, latent, lat_row, obs_row, vop = build_dense_U(spec, covparms, nuggets,
+                                                     kernel)
     zord = np.asarray(z, float)[spec.ord_z]
-    z1 = U[~latent, :].T @ zord
+    z1 = U[~latent, :].T @ zord[vop[~latent]]
     Uy = U[latent, :]
     z2 = Uy @ z1
     W = Uy @ Uy.T
     V = np.linalg.cholesky(rev_mat(W))
     temp = np.linalg.solve(V, z2[::-1])
     mu_rev = -np.linalg.solve(V.T, temp)
-    mu_ord = mu_rev[::-1]
-    vars_ord = np.diag(np.linalg.inv(rev_mat(W)))[::-1]
-    # back to original stacked order
+    mu_lat = mu_rev[::-1]
+    vars_lat = np.diag(np.linalg.inv(rev_mat(W)))[::-1]
+    # back to original stacked order (knowns: mean = datum, var = 0)
     n_locs = spec.ord.size
+    off = spec.n_all - n_locs
+    lat_pts = np.flatnonzero(spec.has_latent)
+    mu_ord = np.full(n_locs, np.nan)
+    vars_ord = np.full(n_locs, np.nan)
+    mu_ord[lat_pts - off] = mu_lat
+    vars_ord[lat_pts - off] = vars_lat
+    if spec.known_pts is not None and spec.known_pts.any():
+        kn = np.flatnonzero(spec.known_pts)
+        mu_ord[kn - off] = zord[spec.obs_pos[spec.NNarray[kn, 0]]]
+        vars_ord[kn - off] = 0.0
     mu = np.empty(n_locs); mu[spec.ord] = mu_ord
     vr = np.empty(n_locs); vr[spec.ord] = vars_ord
     n = spec.n_obs

@@ -82,31 +82,61 @@ def test_prediction_exact_points():
     np.testing.assert_allclose(out["mu_obs"], mu_ref, atol=1e-6)
 
 
-def test_unsupported_modes_raise():
+@pytest.mark.parametrize("kw", [dict(cond_yz="zy"), dict(cond_yz="RVP"),
+                                dict(cond_yz="LK"),
+                                dict(cond_yz="SGV", ic0=True)])
+def test_zy_family_and_ic0_match_dense_oracle(kw):
+    """Zero nuggets on the response-first family and the ic0 variant: the
+    known-twin index surgery (likelihood.zero_nugget_variant) must agree
+    with the dense-U oracle evaluated on the transformed spec (the
+    reference covers these paths by deleting Inf-diagonal rows,
+    /root/reference/R/createU.R:173-193)."""
+    from reference_impl import dense_loglik
+    from gpvecchia_tpu.inference.likelihood import zero_nugget_variant
+
+    locs, z, nug = _data(n=60)
+    spec = vecchia_specify(locs, m=12, **kw)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ll = vecchia_likelihood(z, spec, (1.0, 0.3, 0.5), nug)
+    llo = dense_loglik(z, zero_nugget_variant(spec, nug), (1.0, 0.3, 0.5),
+                       nug)
+    assert np.isfinite(ll)
+    np.testing.assert_allclose(ll, llo, rtol=2e-5)
+
+
+def test_ic0_full_pattern_zero_nugget_exact():
+    # with m = n-1 the unfilled pattern is complete, so IC0 == exact
+    # Cholesky and the zero-nugget likelihood must match the dense MVN
     locs, z, nug = _data(n=50)
-    rng = np.random.default_rng(5)
-    spec = vecchia_specify(locs, m=10, locs_pred=rng.uniform(size=(10, 2)))
-    with pytest.raises(NotImplementedError):
-        vecchia_likelihood(z, spec, (1.0, 0.3, 0.5), nug)
+    spec = vecchia_specify(locs, m=49, cond_yz="SGV", ic0=True)
+    ll = vecchia_likelihood(z, spec, (1.0, 0.3, 0.5), nug)
+    llr = _dense_ll(z, locs, (1.0, 0.3, 0.5), nug)
+    np.testing.assert_allclose(ll, llr, rtol=1e-5)
 
 
-def test_zero_nugget_unsupported_paths_raise():
-    """The zy family / ic0 / obspred prediction ordering are guarded with a
-    clear error for zero nuggets (the reference handles these by row
-    deletion, /root/reference/R/createU.R:173-193; here the known-points
-    variant covers the general path and the rest raise rather than return
-    silently wrong values — an ic0 probe measured a 12.8-nat error when the
-    guard was bypassed)."""
-    rng = np.random.default_rng(5)
-    n = 50
-    locs = rng.uniform(size=(n, 2))
-    z = rng.normal(size=n)
-    nug = np.full(n, 0.1)
-    nug[::5] = 0.0
-    for kw in (dict(cond_yz="zy"), dict(cond_yz="RVP"),
-               dict(cond_yz="SGV", ic0=True)):
-        spec = vecchia_specify(locs, m=10, **kw)
-        with pytest.raises(NotImplementedError, match="zero nuggets"):
-            with warnings.catch_warnings():
-                warnings.simplefilter("ignore")
-                vecchia_likelihood(z, spec, [1.0, 0.2, 0.5], nug)
+@pytest.mark.parametrize("cond", [None, "RVP", "SGV"])
+def test_obspred_prediction_zero_nuggets(cond):
+    """Prediction with zero nuggets in obspred ordering (all conditioning
+    families): posterior must match the dense oracle, interpolate exactly
+    at the exact observations, and carry zero variance there."""
+    from reference_impl import dense_posterior
+    from gpvecchia_tpu.inference.likelihood import zero_nugget_variant
+
+    locs, z, nug = _data(n=60)
+    rng = np.random.default_rng(7)
+    locs_pred = rng.uniform(size=(15, 2))
+    kw = {} if cond is None else dict(cond_yz=cond)
+    if cond == "SGV":
+        kw["ordering_pred"] = "obspred"
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        spec = vecchia_specify(locs, m=12, locs_pred=locs_pred, **kw)
+        out = vecchia_prediction(z, spec, (1.0, 0.3, 0.5), nug)
+    ref = dense_posterior(z, zero_nugget_variant(spec, nug), (1.0, 0.3, 0.5),
+                          nug)
+    zero = nug == 0
+    np.testing.assert_allclose(out["mu_obs"][zero], z[zero], atol=1e-8)
+    np.testing.assert_allclose(out["var_obs"][zero], 0.0, atol=1e-8)
+    for kk in ("mu_obs", "mu_pred", "var_obs", "var_pred"):
+        np.testing.assert_allclose(np.asarray(out[kk]), ref[kk], atol=1e-4)
