@@ -151,6 +151,18 @@ def run_config(n, m, cond, n_evals, dtype, with_grad=False):
     return res
 
 
+def _release_device_memory():
+    """Drop compiled executables and their closed-over device buffers.
+
+    The jit wrapper cache retains `dev` pytrees (GBs at n=1e6) long after
+    the bench phase that built them returned; without this every extra
+    phase stacks on the last one's HBM and the later configs OOM."""
+    import gc
+    import jax
+    jax.clear_caches()
+    gc.collect()
+
+
 def bench_extras(dtype):
     """BASELINE configs 2-5: prediction+selinv, big grad, VL NR, MRA+NUTS.
 
@@ -169,6 +181,7 @@ def bench_extras(dtype):
 
     # ---- config 3: gradient of the north-star loglik (MLE inner loop) ----
     try:
+        _release_device_memory()
         spec = load_spec("/tmp/gpv_spec_1000000_40_SGV.npz")
         n = spec.n_obs
         core, dev = loglik_core(spec, "matern", dtype)
@@ -195,6 +208,7 @@ def bench_extras(dtype):
 
     # ---- config 2: prediction mean + SelInv variances at n=1e6 ----
     try:
+        _release_device_memory()
         from gpvecchia_tpu.inference.prediction import _pred_fns
         spec = load_spec("/tmp/gpv_spec_1000000_40_SGV.npz")
         n = spec.n_obs
@@ -221,6 +235,7 @@ def bench_extras(dtype):
 
     # ---- config 4: one VL Newton-Raphson solve, logistic, n=1e5 ----
     try:
+        _release_device_memory()
         from gpvecchia_tpu.inference.laplace import calculate_posterior_VL
         spec = load_spec("/tmp/gpv_spec_100000_20_SGV.npz")
         n = spec.n_obs
@@ -243,6 +258,7 @@ def bench_extras(dtype):
 
     # ---- config 5: MRA conditioning at n=1e6 + one NUTS transition ----
     try:
+        _release_device_memory()
         cache = "/tmp/gpv_spec_1000000_40_MRA.npz"
         t0 = time.time()
         if os.path.exists(cache):
@@ -313,6 +329,7 @@ def main():
         big = small
         n, m = 100_000, 20
     else:
+        _release_device_memory()
         n, m = 1_000_000, 40
         big = run_config(n, m, "SGV", int(os.environ.get("BENCH_EVALS", 6)),
                          dtype)

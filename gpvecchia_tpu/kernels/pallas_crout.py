@@ -292,6 +292,11 @@ def _fused_impl(geoT, nugT, validT, par, F, d, use_pd):
     return x[:, :n]
 
 
+# lanes per backward rebuild chunk (see _make_fused_solver.bwd): bounds the
+# (chunk, P[, d]) XLA rebuild chains to ~1-2 GB at m=40
+_BWD_CHUNK = 131072
+
+
 @functools.lru_cache(maxsize=None)
 def _make_fused_solver(F, d, use_pd):
     @jax.custom_vjp
@@ -307,14 +312,43 @@ def _make_fused_solver(F, d, use_pd):
 
     def bwd(res, xbar):
         covparms, nugT, x, validT, aux_geo = res
+        n = x.shape[-1]
 
-        def rebuild(cp, ng):
-            return _rebuild_cp(cp, ng, validT, aux_geo, F, d, use_pd)
+        def one_chunk(args):
+            nugT_c, x_c, xbar_c, validT_c, aux_c = args
 
-        Cp, vjp_fn = jax.vjp(rebuild, covparms, nugT)
-        dCp = _solve_e0_bwd_impl(Cp, x, xbar, F)
-        dcov, dnug = vjp_fn(dCp)
-        return dcov, dnug, None, None, None
+            def rebuild(cp, ng):
+                return _rebuild_cp(cp, ng, validT_c, aux_c, F, d, use_pd)
+
+            Cp_c, vjp_fn = jax.vjp(rebuild, covparms, nugT_c)
+            dCp = _solve_e0_bwd_impl(Cp_c, x_c, xbar_c, F)
+            return vjp_fn(dCp)
+
+        if n <= _BWD_CHUNK:
+            dcov, dnug = one_chunk((nugT, x, xbar, validT, aux_geo))
+            return dcov, dnug, None, None, None
+
+        # chunk the covariance rebuild + packed backward over lanes: the
+        # unchunked rebuild materializes (n, P[, d]) chains — ~25 GB of
+        # coordinate-pair diffs at n=1e6/m=40 — which is what OOM'd
+        # jax.grad of the north-star likelihood.  Padded lanes carry
+        # valid=0 / xbar=0, so their cotangents vanish exactly.
+        nc = -(-n // _BWD_CHUNK)
+        npad = nc * _BWD_CHUNK
+
+        def padl(a):      # (F/P, n) lane-last
+            return jnp.pad(a, ((0, 0), (0, npad - n))) \
+                .reshape(a.shape[0], nc, _BWD_CHUNK).swapaxes(0, 1)
+
+        def padr(a):      # (n, ...) row-major
+            return jnp.pad(a, ((0, npad - n),) + ((0, 0),) * (a.ndim - 1)) \
+                .reshape((nc, _BWD_CHUNK) + a.shape[1:])
+
+        dcovs, dnugs = jax.lax.map(
+            one_chunk, (padl(nugT), padl(x), padl(xbar), padl(validT),
+                        padr(aux_geo)))
+        dnug = dnugs.swapaxes(0, 1).reshape(nugT.shape[0], npad)[:, :n]
+        return jnp.sum(dcovs, axis=0), dnug, None, None, None
 
     solve.defvjp(fwd, bwd)
     return solve
@@ -329,9 +363,17 @@ def _rebuild_cp(covparms, nugT, validT, aux_geo, F, d, use_pd):
     if use_pd:
         dist = aux_geo                      # (n, P) packed distances
     else:
-        pts = aux_geo                       # (n, F, d)
-        diff = pts[:, iu, :] - pts[:, ju, :]
-        dist = _safe_dist(jnp.sum(diff * diff, axis=-1))
+        # (n, F*d) FLAT coordinates, coordinate-major per point: a
+        # (n, F, d) residual would be tiled T(8,128) on its trailing
+        # (F, d≈2) dims — a 64x pad that alone exceeded HBM at n=1e6 —
+        # so the residual stays 2-D and the pair diffs are taken with
+        # static lane gathers per coordinate
+        pts = aux_geo
+        d2 = jnp.zeros(pts.shape[:1] + iu.shape, pts.dtype)
+        for c in range(d):
+            dc = pts[:, iu * d + c] - pts[:, ju * d + c]
+            d2 = d2 + dc * dc
+        dist = _safe_dist(d2)
     Cp = matern(dist, covparms)             # (n, P)
     dmask = jnp.asarray(iu == ju)
     Cp = Cp + jnp.where(dmask[None, :], nugT.T[:, iu], 0.0)

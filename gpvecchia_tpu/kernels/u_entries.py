@@ -242,9 +242,14 @@ def u_entries(locs, NN, valid, cond, nug_point, kernel_fn, covparms,
                              0.0).astype(dt)
         use_pd = "pdistT" in fused
         geoT = fused["pdistT"] if use_pd else fused["ptsT"]
-        aux_geo = pdist if use_pd else (
-            nbr_pts if nbr_pts is not None else locs[NN])
         d = locs.shape[1]
+        if use_pd:
+            aux_geo = pdist
+        else:
+            # FLAT (n, F*d) neighbor coordinates: kept 2-D so the grad
+            # residual tiles sanely (see pallas_crout._rebuild_cp)
+            pts3 = nbr_pts if nbr_pts is not None else locs[NN]
+            aux_geo = pts3.reshape(pts3.shape[0], mp1 * d)
 
         def _fused():
             x = fused_matern_solve(covparms, nugT, geoT, fused["validT"],
@@ -297,7 +302,11 @@ def _u_entries_col(locs, NN, valid, cond, nug_point, kernel_fn, covparms,
                                   pdist=ch.get("pdist"),
                                   nbr_pts=ch.get("nbr_pts"))
 
-        col = jax.lax.map(body, stacked)
+        # checkpoint: the scan VJP would otherwise stash every chunk's
+        # covariance-build residuals stacked over chunks (~40 GB at
+        # n=1e6/m=40 — a dozen (chunks, n/chunks, 861) arrays); remat
+        # recomputes them per chunk during the backward instead
+        col = jax.lax.map(jax.checkpoint(body), stacked)
         return col.reshape(-1, mp1)[:n]
     Cp = build_cov_packed(locs, NN, valid, cond, nug_point, kernel_fn,
                           covparms, covmat, sel, pdist=pdist,

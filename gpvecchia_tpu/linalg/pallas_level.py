@@ -61,6 +61,8 @@ _VMEM_LIMIT = 80 * 2 ** 20    # scoped VMEM request (v5e has 128 MB
                               # total; leave room for XLA's own buffers)
 _VMEM_BUDGET = 64 * 2 ** 20   # planning budget (head-room under the limit)
 _MAX_GB = 16      # compile-time bound on unrolled per-step node loops
+_BWD_CHUNK_ELEMS = 1 << 27    # VJP node-chunking threshold (see
+                              # _map_node_chunks); patchable in tests
 _PREC = jax.lax.Precision.HIGHEST
 
 
@@ -396,6 +398,24 @@ def fused_level(ch, starts, rel, diag2, P, B1, Bc1, F1, T):
     return _make_fused(P, B1, Bc1, F1, T)(ch, starts, rel, diag2)
 
 
+def _map_node_chunks(body, args, F1):
+    """Run an N-leading VJP body in node chunks via lax.map when the
+    front-sized temporaries would exceed ~0.5 GB: the leaf/level pullbacks
+    create several (N, F1, F1) intermediates each, which at the n=1e6
+    leaf level (8192 x 330 x 330) made the backward program unbuildable
+    (compile-side OOM) before any step ran."""
+    N = args[0].shape[0]
+    chunk = N
+    while chunk > 1 and chunk % 2 == 0 and chunk * F1 * F1 > _BWD_CHUNK_ELEMS:
+        chunk //= 2
+    if chunk >= N or N % chunk != 0:
+        return body(args)
+    stacked = jax.tree.map(
+        lambda a: a.reshape((N // chunk, chunk) + a.shape[1:]), args)
+    out = jax.lax.map(body, stacked)
+    return jax.tree.map(lambda a: a.reshape((N,) + a.shape[2:]), out)
+
+
 @functools.lru_cache(maxsize=None)
 def _make_fused(P, B1, Bc1, F1, T):
 
@@ -405,46 +425,57 @@ def _make_fused(P, B1, Bc1, F1, T):
 
     def fwd(ch, starts, rel, diag2):
         out = f(ch, starts, rel, diag2)
-        return out, (out[0], out[1], out[2], starts, rel, ch.shape)
+        # out[2] (the Schur carry) is not needed by bwd; keep it out of
+        # the residuals so it can die right after the next level consumes
+        # it
+        return out, (out[0], out[1], starts, rel, ch.shape)
 
     # (bwd below; diag2's cotangent carries the nugget gradients — row 0
     # feeds the diagonal, row 1 the rhs row+column)
 
     def bwd(res, cts):
-        L_pp, L_bp, upd_aug, starts, rel, ch_shape = res
+        L_pp, L_bp, starts, rel, ch_shape = res
         dL_pp, dL_bp, dupd = cts
-        N = ch_shape[0]
         Bc1p = ch_shape[2]
-        dt = L_pp.dtype
-        dfront = _factor_pullback(L_pp, L_bp, dL_pp, dL_bp, dupd, P, B1, F1)
-        # extend-add transpose: dch[s] = G_s^T dfront G_s via the inverse
-        # (child -> parent) monotone map; diag/rhs cotangents are not needed
-        # (diag2 is parameter-free in all callers)
-        ext = _ext_from_plan(starts, rel, T, F1)             # (N, 2, F1)
-        # the aug entry is excluded from the panel plan (static handling in
-        # the kernel); restore it for the transpose
-        ext = ext.at[:, :, F1 - 1].set(Bc1 - 1)
-        ar = jnp.arange(N)[:, None]
-        dch = []
-        for s in (0, 1):
-            g = ext[:, s]
-            ok = g >= 0
-            inv = jnp.full((N, Bc1), -1, jnp.int32)
-            inv = inv.at[ar, jnp.where(ok, g, Bc1).astype(jnp.int32)].set(
-                jnp.broadcast_to(jnp.arange(F1, dtype=jnp.int32)[None],
-                                 (N, F1)), mode="drop")
-            okc = inv >= 0
-            ic = jnp.clip(inv, 0)
-            rows = jnp.where(okc[:, :, None], dfront[ar, ic], 0.0)
-            rt = jnp.swapaxes(rows, 1, 2)
-            sub = jnp.where(okc[:, :, None],
-                            jnp.swapaxes(rt[ar, ic], 1, 2), 0.0)
-            if Bc1p > Bc1:
-                sub = jnp.concatenate(
-                    [sub, jnp.zeros((N, Bc1p - Bc1, Bc1), dt)], axis=1)
-            dch.append(sub)
-        dch = jnp.stack(dch, axis=1)
-        ddiag2 = _diag_rhs_cotangent(dfront, F1)
+
+        def body(args):
+            L_pp, L_bp, dL_pp, dL_bp, dupd, starts, rel = args
+            N = L_pp.shape[0]
+            dt = L_pp.dtype
+            dfront = _factor_pullback(L_pp, L_bp, dL_pp, dL_bp, dupd,
+                                      P, B1, F1)
+            # extend-add transpose: dch[s] = G_s^T dfront G_s via the
+            # inverse (child -> parent) monotone map; diag/rhs cotangents
+            # are not needed (diag2 is parameter-free in all callers)
+            ext = _ext_from_plan(starts, rel, T, F1)         # (N, 2, F1)
+            # the aug entry is excluded from the panel plan (static
+            # handling in the kernel); restore it for the transpose
+            ext = ext.at[:, :, F1 - 1].set(Bc1 - 1)
+            ar = jnp.arange(N)[:, None]
+            dch = []
+            for s in (0, 1):
+                g = ext[:, s]
+                ok = g >= 0
+                inv = jnp.full((N, Bc1), -1, jnp.int32)
+                inv = inv.at[ar, jnp.where(ok, g, Bc1).astype(
+                    jnp.int32)].set(
+                    jnp.broadcast_to(jnp.arange(F1, dtype=jnp.int32)[None],
+                                     (N, F1)), mode="drop")
+                okc = inv >= 0
+                ic = jnp.clip(inv, 0)
+                rows = jnp.where(okc[:, :, None], dfront[ar, ic], 0.0)
+                rt = jnp.swapaxes(rows, 1, 2)
+                sub = jnp.where(okc[:, :, None],
+                                jnp.swapaxes(rt[ar, ic], 1, 2), 0.0)
+                if Bc1p > Bc1:
+                    sub = jnp.concatenate(
+                        [sub, jnp.zeros((N, Bc1p - Bc1, Bc1), dt)], axis=1)
+                dch.append(sub)
+            return (jnp.stack(dch, axis=1),
+                    _diag_rhs_cotangent(dfront, F1))
+
+        dch, ddiag2 = _map_node_chunks(
+            body, (L_pp, L_bp, dL_pp, dL_bp, dupd, starts, rel), F1)
         return (dch,
                 np.zeros(starts.shape, jax.dtypes.float0),
                 np.zeros(rel.shape, jax.dtypes.float0),
@@ -617,29 +648,41 @@ def _make_leaf(P, B1, F1):
 
     def fwd(u, epos, diag2):
         out = f(u, epos, diag2)
-        return out, (out[0], out[1], out[2], u, epos)
+        # upd_aug is NOT a residual: the backward never reads it, and at
+        # the n=1e6 leaf it alone is ~1.7 GB of needless fwd->bwd liveness
+        return out, (out[0], out[1], u, epos)
 
     def bwd(res, cts):
-        L_pp, L_bp, upd_aug, u, epos = res
+        L_pp, L_bp, u, epos = res
         dL_pp, dL_bp, dupd = cts
-        N, Kp, ELp = u.shape
-        dfront = _factor_pullback(L_pp, L_bp, dL_pp, dL_bp, dupd, P, B1, F1)
-        # front = U^T U => dU = 2 U dfront_sym; U recomputed (residual = u)
-        lane = jnp.arange(F1, dtype=jnp.int32)
-        ua = jnp.zeros((N, ELp, F1), u.dtype)
-        for k in range(Kp):
-            ua = ua + jnp.where(
-                lane[None, None, :] == epos[:, k, :, None],
-                u[:, k, :, None], 0.0)
-        dua = 2.0 * jnp.einsum("nef,nfg->neg", ua, dfront, precision=_PREC)
-        ar_n = jnp.arange(N)[:, None]
-        ar_e = jnp.arange(ELp)[None, :]
-        du = jnp.stack(
-            [dua[ar_n, ar_e, jnp.clip(epos[:, k, :], 0)] for k in range(Kp)],
-            axis=1)
-        du = jnp.where(epos >= 0, du, 0.0)
-        return (du, np.zeros(epos.shape, jax.dtypes.float0),
-                _diag_rhs_cotangent(dfront, F1))
+        Kp, ELp = u.shape[1], u.shape[2]
+
+        def body(args):
+            L_pp, L_bp, dL_pp, dL_bp, dupd, u, epos = args
+            N = u.shape[0]
+            dfront = _factor_pullback(L_pp, L_bp, dL_pp, dL_bp, dupd,
+                                      P, B1, F1)
+            # front = U^T U => dU = 2 U dfront_sym; U recomputed
+            # (residual = u)
+            lane = jnp.arange(F1, dtype=jnp.int32)
+            ua = jnp.zeros((N, ELp, F1), u.dtype)
+            for k in range(Kp):
+                ua = ua + jnp.where(
+                    lane[None, None, :] == epos[:, k, :, None],
+                    u[:, k, :, None], 0.0)
+            dua = 2.0 * jnp.einsum("nef,nfg->neg", ua, dfront,
+                                   precision=_PREC)
+            ar_n = jnp.arange(N)[:, None]
+            ar_e = jnp.arange(ELp)[None, :]
+            du = jnp.stack(
+                [dua[ar_n, ar_e, jnp.clip(epos[:, k, :], 0)]
+                 for k in range(Kp)], axis=1)
+            du = jnp.where(epos >= 0, du, 0.0)
+            return du, _diag_rhs_cotangent(dfront, F1)
+
+        du, ddiag2 = _map_node_chunks(
+            body, (L_pp, L_bp, dL_pp, dL_bp, dupd, u, epos), F1)
+        return (du, np.zeros(epos.shape, jax.dtypes.float0), ddiag2)
 
     f.defvjp(fwd, bwd)
     return f
@@ -787,48 +830,53 @@ def _make_afront(Bc1, F1, T):
 
     def bwd(res, dfront):
         starts, rel, ch_shape = res
-        N = ch_shape[0]
         Bc1p = ch_shape[2]
-        dt = dfront.dtype
-        dfront = dfront[:, :F1, :F1]
-        dfront = 0.5 * (dfront + jnp.swapaxes(dfront, 1, 2))
-        ext = _ext_from_plan(starts, rel, T, F1)
-        ext = ext.at[:, :, F1 - 1].set(Bc1 - 1)
-        ar = jnp.arange(N)[:, None]
-        dch = []
-        for s in (0, 1):
-            g = ext[:, s]
-            ok = g >= 0
-            inv = jnp.full((N, Bc1), -1, jnp.int32)
-            inv = inv.at[ar, jnp.where(ok, g, Bc1).astype(jnp.int32)].set(
-                jnp.broadcast_to(jnp.arange(F1, dtype=jnp.int32)[None],
-                                 (N, F1)), mode="drop")
-            okc = inv >= 0
-            ic = jnp.clip(inv, 0)
-            rows = jnp.where(okc[:, :, None], dfront[ar, ic], 0.0)
-            rt = jnp.swapaxes(rows, 1, 2)
-            sub = jnp.where(okc[:, :, None],
-                            jnp.swapaxes(rt[ar, ic], 1, 2), 0.0)
-            if Bc1p > Bc1:
-                sub = jnp.concatenate(
-                    [sub, jnp.zeros((N, Bc1p - Bc1, Bc1), dt)], axis=1)
-            dch.append(sub)
-        dch = jnp.stack(dch, axis=1)
-        F1p = _ru(F1, _TE)
-        dd = jnp.diagonal(dfront, axis1=1, axis2=2)
-        drv = dfront[:, F1 - 1, :] + dfront[:, :, F1 - 1]
-        ddiag2 = jnp.zeros((N, 8, F1p), dt)
-        ddiag2 = ddiag2.at[:, 0, :F1].set(dd)
-        ddiag2 = ddiag2.at[:, 1, :F1].set(drv)
-        ddiagT = jnp.zeros((N, F1p, 8), dt)
-        ddiagT = ddiagT.at[:, :F1, 0].set(dd)
-        ddiagT = ddiagT.at[:, :F1, 1].set(drv)
-        # the kernel reads the DIAGONAL add from diagT col 0 and the rhs
-        # COLUMN from diagT col 1, but the rhs ROW from diag2 row 1: route
-        # half of drv to each so d(rhs_vert) sums correctly in the caller
-        ddiag2 = ddiag2.at[:, 1, :F1].set(0.5 * drv)
-        ddiag2 = ddiag2.at[:, 0, :F1].set(0.0)
-        ddiagT = ddiagT.at[:, :F1, 1].set(0.5 * drv)
+
+        def body(args):
+            dfront, starts, rel = args
+            N = dfront.shape[0]
+            dt = dfront.dtype
+            dfront = dfront[:, :F1, :F1]
+            dfront = 0.5 * (dfront + jnp.swapaxes(dfront, 1, 2))
+            ext = _ext_from_plan(starts, rel, T, F1)
+            ext = ext.at[:, :, F1 - 1].set(Bc1 - 1)
+            ar = jnp.arange(N)[:, None]
+            dch = []
+            for s in (0, 1):
+                g = ext[:, s]
+                ok = g >= 0
+                inv = jnp.full((N, Bc1), -1, jnp.int32)
+                inv = inv.at[ar, jnp.where(ok, g, Bc1).astype(
+                    jnp.int32)].set(
+                    jnp.broadcast_to(jnp.arange(F1, dtype=jnp.int32)[None],
+                                     (N, F1)), mode="drop")
+                okc = inv >= 0
+                ic = jnp.clip(inv, 0)
+                rows = jnp.where(okc[:, :, None], dfront[ar, ic], 0.0)
+                rt = jnp.swapaxes(rows, 1, 2)
+                sub = jnp.where(okc[:, :, None],
+                                jnp.swapaxes(rt[ar, ic], 1, 2), 0.0)
+                if Bc1p > Bc1:
+                    sub = jnp.concatenate(
+                        [sub, jnp.zeros((N, Bc1p - Bc1, Bc1), dt)], axis=1)
+                dch.append(sub)
+            dch = jnp.stack(dch, axis=1)
+            F1p = _ru(F1, _TE)
+            dd = jnp.diagonal(dfront, axis1=1, axis2=2)
+            drv = dfront[:, F1 - 1, :] + dfront[:, :, F1 - 1]
+            ddiag2 = jnp.zeros((N, 8, F1p), dt)
+            ddiagT = jnp.zeros((N, F1p, 8), dt)
+            ddiagT = ddiagT.at[:, :F1, 0].set(dd)
+            # the kernel reads the DIAGONAL add from diagT col 0 and the
+            # rhs COLUMN from diagT col 1, but the rhs ROW from diag2 row
+            # 1: route half of drv to each so d(rhs_vert) sums correctly
+            # in the caller
+            ddiag2 = ddiag2.at[:, 1, :F1].set(0.5 * drv)
+            ddiagT = ddiagT.at[:, :F1, 1].set(0.5 * drv)
+            return dch, ddiag2, ddiagT
+
+        dch, ddiag2, ddiagT = _map_node_chunks(
+            body, (dfront, starts, rel), F1)
         return (dch,
                 np.zeros(starts.shape, jax.dtypes.float0),
                 np.zeros(rel.shape, jax.dtypes.float0),

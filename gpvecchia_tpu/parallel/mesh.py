@@ -136,6 +136,34 @@ def sharded_loglik_core(spec, covmodel="matern", mesh=None, dtype=None):
     return core, sharded
 
 
+def sharded_posterior_core(spec, covmodel="matern", mesh=None, dtype=None):
+    """(core, sharded_dev): posterior mean + selected-inverse variances with
+    the multifrontal tree sharded over 'rows' (same subtree-contiguous node
+    ranges as the likelihood).  ``core(dev, z, covparms, nuggets)`` returns
+    (mu over ordered latents, posterior variance diagonal)."""
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    if mesh is None:
+        mesh = make_mesh()
+    plan = get_plan(spec, dtype)
+    if not plan.use_mf:
+        raise NotImplementedError("sharded posterior needs the multifrontal "
+                                  "('chol'-mode) path")
+    covmat, sel, kernel_fn = _dispatch_covmodel(spec, covmodel, dtype)
+    dev = _device_arrays(plan)
+    sharded = shard_rows(mesh, plan, dev)
+    static = plan.compiled["mf_static"]
+
+    def core(dev, z, covparms, nuggets):
+        from ..inference.prediction import _posterior_core
+        from ..linalg.multifrontal import mf_selinv_diag
+        mu, fac, _, _ = _posterior_core(plan, kernel_fn, covmat, dev, z,
+                                        covparms, nuggets, sel=sel)
+        return mu, mf_selinv_diag(static, dev["mf"], fac)
+
+    return core, sharded
+
+
 def sharded_loglik_fn(spec, covmodel="matern", mesh=None, dtype=None):
     """loglik(z, covparms, nuggets) with rows sharded over the mesh.
 

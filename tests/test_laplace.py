@@ -52,7 +52,7 @@ def _laplace_exact(z, K, model_fns, max_iter=100, convg=1e-8):
     return y
 
 
-@pytest.mark.parametrize("model", ["gaussian", "logistic", "poisson", "gamma"])
+@pytest.mark.parametrize("model", ["gaussian", "logistic", pytest.param("poisson", marks=pytest.mark.slow), pytest.param("gamma", marks=pytest.mark.slow)])
 def test_vl_posterior_close_to_exact_laplace(model):
     locs, K, y, rng = _latent_field()
     z = _sample(model, y, rng)

@@ -29,7 +29,7 @@ def problem():
     return spec, z, covparms, nuggets, ref
 
 
-@pytest.mark.parametrize("ndev", [1, 2, 4, 8])
+@pytest.mark.parametrize("ndev", [pytest.param(1, marks=pytest.mark.slow), 2, pytest.param(4, marks=pytest.mark.slow), 8])
 def test_sharded_matches_unsharded(problem, ndev):
     spec, z, covparms, nuggets, ref = problem
     if len(jax.devices()) < ndev:
@@ -78,6 +78,7 @@ def test_chains_axis(problem):
     assert vals[0] != vals[1]
 
 
+@pytest.mark.slow
 def test_mf_levels_sharded_and_collectives_emitted(problem):
     """The multifrontal factor must actually SHARD across the mesh (round-3
     regression: it was silently replicated, so 'sharded' tests passed while

@@ -308,3 +308,26 @@ def test_assemble_fronts_matches_dense():
     np.testing.assert_allclose(0.5 * (g1s + np.swapaxes(g1s, 2, 3)),
                                0.5 * (g2s + np.swapaxes(g2s, 2, 3)),
                                rtol=0, atol=5e-3)
+
+
+def test_fused_leaf_vjp_node_chunked_matches(monkeypatch):
+    """The node-chunked VJP path (threshold patched down so tiny shapes
+    trigger it) must agree with the unchunked backward exactly — this is
+    the path the n=1e6 gradient takes, where unchunked front-sized
+    pullback temporaries OOM'd the compile."""
+    u, epos, diag, rhs, diag2, P, B1, F1 = _mk_leaf_inputs(seed=7)
+
+    def loss(uin):
+        L_pp, L_bp, upd = PL.fused_leaf(
+            jnp.swapaxes(uin, 1, 2),
+            jnp.asarray(np.swapaxes(epos, 1, 2)),
+            jnp.asarray(diag2), P, B1, F1)
+        return (jnp.sum(jnp.log(jnp.diagonal(L_pp, axis1=1, axis2=2)))
+                + jnp.sum(jnp.cos(L_bp)) + jnp.sum(jnp.sin(upd[:, :B1])))
+
+    uj = jnp.asarray(u)
+    g_ref = jax.grad(loss)(uj)
+    monkeypatch.setattr(PL, "_BWD_CHUNK_ELEMS", 1)
+    g_ch = jax.grad(loss)(uj)
+    np.testing.assert_allclose(np.asarray(g_ch), np.asarray(g_ref),
+                               rtol=0, atol=1e-6)
