@@ -293,8 +293,10 @@ def _fused_impl(geoT, nugT, validT, par, F, d, use_pd):
 
 
 # lanes per backward rebuild chunk (see _make_fused_solver.bwd): bounds the
-# (chunk, P[, d]) XLA rebuild chains to ~1-2 GB at m=40
-_BWD_CHUNK = 131072
+# (chunk, P) XLA rebuild chains to ~220 MB each at m=40 (the general-nu
+# Bessel branch of the rebuild holds ~a dozen such temps at once, and the
+# whole grad program must fit beside ~2 GB of arguments in 16 GB HBM)
+_BWD_CHUNK = 65536
 
 
 @functools.lru_cache(maxsize=None)
