@@ -179,8 +179,13 @@ def bench_extras(dtype):
     out = {}
     rng = np.random.default_rng(1988)
 
+    # Each config runs inside its own function so its device-array locals
+    # (GBs of index plans at n=1e6) die before the next config allocates —
+    # jax.clear_caches() alone cannot free buffers this frame still
+    # references.
+
     # ---- config 3: gradient of the north-star loglik (MLE inner loop) ----
-    try:
+    def _cfg3():
         _release_device_memory()
         spec = load_spec("/tmp/gpv_spec_1000000_40_SGV.npz")
         n = spec.n_obs
@@ -201,13 +206,15 @@ def bench_extras(dtype):
             float(v), np.asarray(g)
             ts.append(time.time() - t0)
         out["big_grad_ms"] = round(sorted(ts)[1] * 1e3, 1)
+    try:
+        _cfg3()
     except Exception as e:
         print(f"[bench] big grad failed: {type(e).__name__}",
               file=sys.stderr)
         out["big_grad_ms"] = float("nan")
 
     # ---- config 2: prediction mean + SelInv variances at n=1e6 ----
-    try:
+    def _cfg2():
         _release_device_memory()
         from gpvecchia_tpu.inference.prediction import _pred_fns
         spec = load_spec("/tmp/gpv_spec_1000000_40_SGV.npz")
@@ -228,13 +235,15 @@ def bench_extras(dtype):
         d = var_fn(fac)
         float(jnp.ravel(d)[0])
         out["pred_selinv_ms"] = round((time.time() - t0) * 1e3, 1)
+    try:
+        _cfg2()
     except Exception as e:
         print(f"[bench] prediction failed: {type(e).__name__}: {e}",
               file=sys.stderr)
         out["pred_mean_ms"] = out["pred_selinv_ms"] = float("nan")
 
     # ---- config 4: one VL Newton-Raphson solve, logistic, n=1e5 ----
-    try:
+    def _cfg4():
         _release_device_memory()
         from gpvecchia_tpu.inference.laplace import calculate_posterior_VL
         spec = load_spec("/tmp/gpv_spec_100000_20_SGV.npz")
@@ -251,13 +260,15 @@ def bench_extras(dtype):
         out["vl_nr_ms"] = round(vl_s * 1e3, 1)
         out["vl_iters"] = int(post["iter"])
         out["vl_iter_ms"] = round(vl_s * 1e3 / max(post["iter"], 1), 1)
+    try:
+        _cfg4()
     except Exception as e:
         print(f"[bench] VL failed: {type(e).__name__}: {e}",
               file=sys.stderr)
         out["vl_nr_ms"] = float("nan")
 
     # ---- config 5: MRA conditioning at n=1e6 + one NUTS transition ----
-    try:
+    def _cfg5():
         _release_device_memory()
         cache = "/tmp/gpv_spec_1000000_40_MRA.npz"
         t0 = time.time()
@@ -301,10 +312,14 @@ def bench_extras(dtype):
         th1, _ = trans(jax.random.PRNGKey(1), th0)
         float(th1[0])
         out["nuts_transition_ms"] = round((time.time() - t0) * 1e3, 1)
+
+    try:
+        _cfg5()
     except Exception as e:
         print(f"[bench] MRA/NUTS failed: {type(e).__name__}: {e}",
               file=sys.stderr)
         out["mra_eval_ms"] = float("nan")
+    _release_device_memory()
     return out
 
 
