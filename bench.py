@@ -163,11 +163,13 @@ def _release_device_memory():
     gc.collect()
 
 
-def bench_extras(dtype):
+def bench_extras(dtype, only=None):
     """BASELINE configs 2-5: prediction+selinv, big grad, VL NR, MRA+NUTS.
 
     Each piece is guarded — a failure reports NaN rather than killing the
-    headline metric.  Timings are value-readback synced.
+    headline metric.  Timings are value-readback synced.  With ``only``,
+    runs that single config in-process (the child side of the subprocess
+    dispatch below).
     """
     import jax
     import jax.numpy as jnp
@@ -179,14 +181,33 @@ def bench_extras(dtype):
     out = {}
     rng = np.random.default_rng(1988)
 
-    # Each config runs inside its own function so its device-array locals
-    # (GBs of index plans at n=1e6) die before the next config allocates —
-    # jax.clear_caches() alone cannot free buffers this frame still
-    # references.
+    # Each config runs in a SUBPROCESS: the axon TPU runtime does not
+    # return a process's freed HBM while it lives (clear_caches + zero
+    # live arrays still left later configs ResourceExhausted), and the
+    # persistent compile cache makes re-attachment cheap.  Running
+    # `python bench.py --extra cfgN` executes one config and prints its
+    # JSON fragment; this parent collects them.
+    def _run_extra(name, fn, fallback):
+        if only is not None:
+            if name == only:
+                fn()
+            return
+        import subprocess
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--extra",
+                 name], capture_output=True, text=True, timeout=1500)
+            sys.stderr.write(r.stderr[-2000:])
+            line = [ln for ln in r.stdout.strip().splitlines()
+                    if ln.startswith("{")][-1]
+            out.update(json.loads(line))
+        except Exception as e:
+            print(f"[bench] extra {name} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            out.update(fallback)
 
     # ---- config 3: gradient of the north-star loglik (MLE inner loop) ----
     def _cfg3():
-        _release_device_memory()
         spec = load_spec("/tmp/gpv_spec_1000000_40_SGV.npz")
         n = spec.n_obs
         core, dev = loglik_core(spec, "matern", dtype)
@@ -206,16 +227,10 @@ def bench_extras(dtype):
             float(v), np.asarray(g)
             ts.append(time.time() - t0)
         out["big_grad_ms"] = round(sorted(ts)[1] * 1e3, 1)
-    try:
-        _cfg3()
-    except Exception as e:
-        print(f"[bench] big grad failed: {type(e).__name__}",
-              file=sys.stderr)
-        out["big_grad_ms"] = float("nan")
+    _run_extra("cfg3", _cfg3, {"big_grad_ms": float("nan")})
 
     # ---- config 2: prediction mean + SelInv variances at n=1e6 ----
     def _cfg2():
-        _release_device_memory()
         from gpvecchia_tpu.inference.prediction import _pred_fns
         spec = load_spec("/tmp/gpv_spec_1000000_40_SGV.npz")
         n = spec.n_obs
@@ -235,16 +250,11 @@ def bench_extras(dtype):
         d = var_fn(fac)
         float(jnp.ravel(d)[0])
         out["pred_selinv_ms"] = round((time.time() - t0) * 1e3, 1)
-    try:
-        _cfg2()
-    except Exception as e:
-        print(f"[bench] prediction failed: {type(e).__name__}: {e}",
-              file=sys.stderr)
-        out["pred_mean_ms"] = out["pred_selinv_ms"] = float("nan")
+    _run_extra("cfg2", _cfg2, {"pred_mean_ms": float("nan"),
+                                "pred_selinv_ms": float("nan")})
 
     # ---- config 4: one VL Newton-Raphson solve, logistic, n=1e5 ----
     def _cfg4():
-        _release_device_memory()
         from gpvecchia_tpu.inference.laplace import calculate_posterior_VL
         spec = load_spec("/tmp/gpv_spec_100000_20_SGV.npz")
         n = spec.n_obs
@@ -260,16 +270,10 @@ def bench_extras(dtype):
         out["vl_nr_ms"] = round(vl_s * 1e3, 1)
         out["vl_iters"] = int(post["iter"])
         out["vl_iter_ms"] = round(vl_s * 1e3 / max(post["iter"], 1), 1)
-    try:
-        _cfg4()
-    except Exception as e:
-        print(f"[bench] VL failed: {type(e).__name__}: {e}",
-              file=sys.stderr)
-        out["vl_nr_ms"] = float("nan")
+    _run_extra("cfg4", _cfg4, {"vl_nr_ms": float("nan")})
 
     # ---- config 5: MRA conditioning at n=1e6 + one NUTS transition ----
     def _cfg5():
-        _release_device_memory()
         cache = "/tmp/gpv_spec_1000000_40_MRA.npz"
         t0 = time.time()
         if os.path.exists(cache):
@@ -313,21 +317,13 @@ def bench_extras(dtype):
         float(th1[0])
         out["nuts_transition_ms"] = round((time.time() - t0) * 1e3, 1)
 
-    try:
-        _cfg5()
-    except Exception as e:
-        print(f"[bench] MRA/NUTS failed: {type(e).__name__}: {e}",
-              file=sys.stderr)
-        out["mra_eval_ms"] = float("nan")
-    _release_device_memory()
+    _run_extra("cfg5", _cfg5, {"mra_eval_ms": float("nan")})
     return out
 
 
-def main():
+def _child_main(arg):
     import jax
 
-    # persistent executable cache: warm-process compiles drop ~an order of
-    # magnitude (verified working through the axon remote-compile flow)
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("GPV_COMPILE_CACHE",
                                      "/tmp/gpv_jax_cache"))
@@ -335,45 +331,81 @@ def main():
     import jax.numpy as jnp
 
     dtype = jnp.float32
-    platform = jax.devices()[0].platform
-    print(f"[bench] backend={platform}", file=sys.stderr)
-    t_start = time.time()
-
-    small = run_config(100_000, 20, "SGV", 10, dtype, with_grad=True)
-    if os.environ.get("BENCH_SMALL_ONLY"):
-        big = small
-        n, m = 100_000, 20
+    if arg == "--headline":
+        platform = jax.devices()[0].platform
+        print(f"[bench] backend={platform}", file=sys.stderr)
+        small = run_config(100_000, 20, "SGV", 10, dtype, with_grad=True)
+        if os.environ.get("BENCH_SMALL_ONLY"):
+            big = small
+            n, m = 100_000, 20
+        else:
+            _release_device_memory()
+            n, m = 1_000_000, 40
+            big = run_config(n, m, "SGV",
+                             int(os.environ.get("BENCH_EVALS", 6)), dtype)
+        vs_big = big["ref_sec"] / big["per_eval"]
+        vs_small = small["ref_sec"] / small["per_eval"]
+        print(json.dumps({
+            "metric": f"vecchia_loglik_evals_per_sec_n{n}_m{m}_SGV",
+            "value": round(1.0 / big["per_eval"], 3),
+            "unit": "evals/s",
+            "vs_baseline": round(vs_big, 2),
+            "small_n1e5_m20_ms": round(small["per_eval"] * 1e3, 2),
+            "small_vs_baseline": round(vs_small, 2),
+            "small_grad_ms": round(small.get("grad_eval",
+                                             float("nan")) * 1e3, 2),
+            "big_compile_s": round(big["compile_s"], 1),
+            "big_plan_s": round(big["plan_s"], 1),
+        }))
     else:
-        _release_device_memory()
-        n, m = 1_000_000, 40
-        big = run_config(n, m, "SGV", int(os.environ.get("BENCH_EVALS", 6)),
-                         dtype)
+        print(json.dumps(bench_extras(dtype, only=arg)))
 
-    extras = {}
-    if not os.environ.get("BENCH_SMALL_ONLY") \
-            and not os.environ.get("BENCH_NO_EXTRAS"):
-        extras = bench_extras(dtype)
-        print(f"[bench] extras: {extras}", file=sys.stderr)
 
-    vs_big = big["ref_sec"] / big["per_eval"]
-    vs_small = small["ref_sec"] / small["per_eval"]
-    print(f"[bench] total {time.time() - t_start:.0f}s; "
-          f"big {big['per_eval']*1e3:.1f} ms (x{vs_big:.2f}); "
-          f"small {small['per_eval']*1e3:.1f} ms (x{vs_small:.2f})",
-          file=sys.stderr)
+def main():
+    """Orchestrator: JAX-free parent; every phase runs in its own
+    subprocess because the axon TPU runtime does not release a live
+    process's freed HBM (ResourceExhausted for any phase sharing a
+    process with the n=1e6 configs).  The persistent compile cache keeps
+    the per-phase re-attachment cost to seconds."""
+    if len(sys.argv) > 2 and sys.argv[1] == "--extra":
+        _child_main(sys.argv[2])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--headline":
+        _child_main("--headline")
+        return
 
-    print(json.dumps({
-        "metric": f"vecchia_loglik_evals_per_sec_n{n}_m{m}_SGV",
-        "value": round(1.0 / big["per_eval"], 3),
-        "unit": "evals/s",
-        "vs_baseline": round(vs_big, 2),
-        "small_n1e5_m20_ms": round(small["per_eval"] * 1e3, 2),
-        "small_vs_baseline": round(vs_small, 2),
-        "small_grad_ms": round(small.get("grad_eval", float("nan")) * 1e3, 2),
-        "big_compile_s": round(big["compile_s"], 1),
-        "big_plan_s": round(big["plan_s"], 1),
-        **extras,
-    }))
+    t_start = time.time()
+    import subprocess
+
+    def run_child(arg, timeout):
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)] + arg,
+                           capture_output=True, text=True, timeout=timeout)
+        sys.stderr.write(r.stderr[-4000:])
+        lines = [ln for ln in r.stdout.strip().splitlines()
+                 if ln.startswith("{")]
+        return json.loads(lines[-1]) if lines else {}
+
+    result = run_child(["--headline"], 2400)
+    if not result:
+        sys.exit("[bench] headline child produced no result")
+
+    if not os.environ.get("BENCH_SMALL_ONLY") and \
+            not os.environ.get("BENCH_NO_EXTRAS"):
+        for name, fallback in [
+                ("cfg3", {"big_grad_ms": float("nan")}),
+                ("cfg2", {"pred_mean_ms": float("nan"),
+                          "pred_selinv_ms": float("nan")}),
+                ("cfg4", {"vl_nr_ms": float("nan")}),
+                ("cfg5", {"mra_eval_ms": float("nan")})]:
+            try:
+                result.update(run_child(["--extra", name], 1500))
+            except Exception as e:
+                print(f"[bench] extra {name} failed: {type(e).__name__}",
+                      file=sys.stderr)
+                result.update(fallback)
+
+    print(f"[bench] total {time.time() - t_start:.0f}s", file=sys.stderr)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
