@@ -95,6 +95,7 @@ def test_vl_invalid_data_raises():
             calculate_posterior_VL(z, spec, model, COVPARMS)
 
 
+@pytest.mark.slow
 def test_vl_prediction_links():
     locs, K, y, rng = _latent_field(n=80)
     z = _sample("poisson", y, rng)

@@ -114,6 +114,7 @@ def test_covmodel_matrix_matches_string():
     assert abs(ll_s - ll_m) < 1e-9
 
 
+@pytest.mark.slow
 def test_gradient_finite():
     import jax
     import jax.numpy as jnp

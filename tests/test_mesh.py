@@ -41,6 +41,7 @@ def test_sharded_matches_unsharded(problem, ndev):
     np.testing.assert_allclose(val, ref, rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_sharded_gradient_matches(problem):
     spec, z, covparms, nuggets, ref = problem
     if len(jax.devices()) < 4:

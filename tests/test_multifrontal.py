@@ -47,8 +47,10 @@ def _dense_W(elem_verts, u_vals, dvec, n_vert):
     return W
 
 
-@pytest.mark.parametrize("n_vert,K,leaf", [(60, 5, 8), (300, 9, 16),
-                                           (300, 9, 512)])
+@pytest.mark.parametrize("n_vert,K,leaf", [
+    (60, 5, 8),
+    pytest.param(300, 9, 16, marks=pytest.mark.slow),
+    (300, 9, 512)])
 def test_mf_against_dense(n_vert, K, leaf):
     rng = np.random.default_rng(1988 + n_vert)
     elem_verts, xy, u_vals = _random_elements(rng, n_vert, K)

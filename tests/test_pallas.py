@@ -75,6 +75,7 @@ def test_factor_fronts(F, P):
         assert np.abs(np.asarray(L_bp) - Lbp_ref).max() < 5e-5
 
 
+@pytest.mark.slow
 def test_factor_fronts_vjp():
     rng = np.random.default_rng(3)
     N, F, P = 2, 60, 40
@@ -135,6 +136,7 @@ def test_eadd_fronts_and_vjp():
     assert np.abs(np.asarray(g) - gref).max() == 0.0
 
 
+@pytest.mark.slow
 def test_fused_matern_matches_xla_path(monkeypatch):
     import gpvecchia_tpu.kernels.u_entries as ue
     from gpvecchia_tpu.kernels.covariance import matern

@@ -112,6 +112,7 @@ def test_fused_level_matches_dense():
                                np.asarray(y), rtol=0, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_fused_level_vjp_matches_autodiff():
     (ch, chp, ext, starts, rel, T, F1p, diag, rhs, diag2,
      P, B1, Bc1, F1) = _mk_level_inputs(seed=3, N=2, P=9, B=6, Bc=11)
@@ -310,6 +311,7 @@ def test_assemble_fronts_matches_dense():
                                rtol=0, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_fused_leaf_vjp_node_chunked_matches(monkeypatch):
     """The node-chunked VJP path (threshold patched down so tiny shapes
     trigger it) must agree with the unchunked backward exactly — this is

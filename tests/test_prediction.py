@@ -83,6 +83,7 @@ def test_selinv_exact_on_closed_pattern():
     np.testing.assert_allclose(preds["mu_obs"], ref["mu_obs"], atol=1e-9)
 
 
+@pytest.mark.slow
 def test_lincomb_and_covmat():
     locs, locs_pred, z = _data(n=30, n_pred=15)
     n, n_p = len(locs), len(locs_pred)
@@ -109,6 +110,7 @@ def test_lincomb_and_covmat():
     np.testing.assert_allclose(cm["Sigma_obs"], Sigma[:n, :n], atol=1e-9)
 
 
+@pytest.mark.slow
 def test_pred_cond_independent_runs():
     locs, locs_pred, z = _data(n=80, n_pred=40)
     with warnings.catch_warnings():
@@ -121,6 +123,7 @@ def test_pred_cond_independent_runs():
     assert np.all(np.isfinite(preds["var_pred"]))
 
 
+@pytest.mark.slow
 def test_selinv_open_pattern_error_characterized():
     """Quantify the selected-inverse obs-variance error on an OPEN pattern.
 
