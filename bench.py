@@ -295,7 +295,15 @@ def bench_extras(dtype, only=None):
                      dtype(0.1)))
             ts.append(time.time() - t0)
         out["mra_eval_ms"] = round(sorted(ts)[1] * 1e3, 1)
-        # one NUTS transition over (variance, range) at the MRA config
+
+    _run_extra("cfg5", _cfg5, {"mra_eval_ms": float("nan")})
+
+    # ---- config 5b: one NUTS transition at the MRA n=1e6 config ----
+    # (own subprocess/frame: its compile is the longest of any phase)
+    def _cfg5b():
+        spec_m = load_spec("/tmp/gpv_spec_1000000_40_MRA.npz")
+        n = spec_m.n_obs
+        z = np.asarray(rng.normal(size=n))
         from gpvecchia_tpu.fit.mcmc import _nuts_transition
         core, dev = loglik_core(spec_m, "matern", dtype)
         zj = jnp.asarray(z, dtype)
@@ -317,7 +325,7 @@ def bench_extras(dtype, only=None):
         float(th1[0])
         out["nuts_transition_ms"] = round((time.time() - t0) * 1e3, 1)
 
-    _run_extra("cfg5", _cfg5, {"mra_eval_ms": float("nan")})
+    _run_extra("cfg5b", _cfg5b, {"nuts_transition_ms": float("nan")})
     return out
 
 
@@ -398,7 +406,11 @@ def main():
                 ("cfg4", {"vl_nr_ms": float("nan")}),
                 ("cfg5", {"mra_eval_ms": float("nan")})]:
             try:
-                result.update(run_child(["--extra", name], 1500))
+                got = run_child(["--extra", name], 1500)
+                result.update(got or fallback)
+                if not got:
+                    print(f"[bench] extra {name} produced no result",
+                          file=sys.stderr)
             except Exception as e:
                 print(f"[bench] extra {name} failed: {type(e).__name__}",
                       file=sys.stderr)

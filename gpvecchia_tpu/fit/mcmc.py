@@ -57,16 +57,26 @@ def _nuts_transition(logpost_fn, grad_fn, key, theta0, eps, inv_mass,
     the whole trajectory.  Subtree-internal U-turn checks use the iterative
     balanced-block scheme (a state stack with one slot per scale), which
     reproduces the recursive algorithm's exact check set with static shapes.
+
+    The loop carries the gradient at each endpoint so one
+    ``value_and_grad`` per leapfrog step supplies the half-step kicks AND
+    the multinomial weight: the compiled program contains ONE copy of the
+    posterior graph per loop body instead of three (two grad_fn calls +
+    one logpost call), which at the n=1e6 configs cuts both compile time
+    and per-step runtime ~3x.  ``grad_fn`` is accepted for signature
+    compatibility but derived internally.
     """
     dt = theta0.dtype
     dim = theta0.shape[0]
+    vg_fn = jax.value_and_grad(logpost_fn)
     key, kr = jax.random.split(key)
     r0 = jax.random.normal(kr, (dim,), dt) * jnp.sqrt(1.0 / inv_mass)
-    logp0 = logpost_fn(theta0)
+    logp0, g0 = vg_fn(theta0)
     joint0 = logp0 - _kinetic(r0, inv_mass)
 
     def one_doubling(carry, depth):
-        (key, tp, rp, tm, rm, prop, log_sum_w, sum_acc, n_acc, done) = carry
+        (key, tp, rp, gp, tm, rm, gm, prop, log_sum_w, sum_acc, n_acc,
+         done) = carry
         key, kdir, ksel = jax.random.split(key, 3)
         go_right = jax.random.bernoulli(kdir)
         n_leap = 2 ** depth  # static per unrolled doubling
@@ -84,11 +94,14 @@ def _nuts_transition(logpost_fn, grad_fn, key, theta0, eps, inv_mass,
         dirsgn = jnp.where(go_right, 1.0, -1.0).astype(dt)
 
         def leap_body(i, c):
-            (th, r, log_w_sub, prop_sub, key_s, sum_a, n_a, bad,
+            (th, r, g, log_w_sub, prop_sub, key_s, sum_a, n_a, bad,
              stk_th, stk_r) = c
             eps_d = jnp.where(go_right, eps, -eps)
-            th, r = _leapfrog(grad_fn, th, r, eps_d, inv_mass)
-            joint = logpost_fn(th) - _kinetic(r, inv_mass)
+            r_half = r + 0.5 * eps_d * g
+            th = th + eps_d * inv_mass * r_half
+            logp, g = vg_fn(th)
+            r = r_half + 0.5 * eps_d * g
+            joint = logp - _kinetic(r, inv_mass)
             delta = joint - joint0
             bad = bad | (delta < -1000.0) | jnp.isnan(delta)
             save = (i % scales) == 0                          # (S,)
@@ -105,17 +118,18 @@ def _nuts_transition(logpost_fn, grad_fn, key, theta0, eps, inv_mass,
             take = jnp.log(jax.random.uniform(ku, dtype=dt)) < delta - log_w_new
             prop_sub = jnp.where(take & ~bad, th, prop_sub)
             sum_a = sum_a + jnp.minimum(jnp.exp(delta), 1.0)
-            return (th, r, log_w_new, prop_sub, key_s, sum_a, n_a + 1, bad,
-                    stk_th, stk_r)
+            return (th, r, g, log_w_new, prop_sub, key_s, sum_a, n_a + 1,
+                    bad, stk_th, stk_r)
 
         th_start = jnp.where(go_right, tp, tm)
         r_start = jnp.where(go_right, rp, rm)
+        g_start = jnp.where(go_right, gp, gm)
         key, ksub = jax.random.split(key)
         stk0 = jnp.zeros((max_depth, dim), dt)
-        init = (th_start, r_start, jnp.asarray(-jnp.inf, dt), th_start, ksub,
-                jnp.asarray(0.0, dt), jnp.asarray(0, jnp.int32),
-                jnp.asarray(False), stk0, stk0)
-        (th_e, r_e, log_w_sub, prop_sub, _, sum_a, n_a, div, _,
+        init = (th_start, r_start, g_start, jnp.asarray(-jnp.inf, dt),
+                th_start, ksub, jnp.asarray(0.0, dt),
+                jnp.asarray(0, jnp.int32), jnp.asarray(False), stk0, stk0)
+        (th_e, r_e, g_e, log_w_sub, prop_sub, _, sum_a, n_a, div, _,
          _) = jax.lax.fori_loop(0, n_leap, leap_body, init)
 
         # merge subtree into trajectory (biased progressive sampling); an
@@ -128,48 +142,60 @@ def _nuts_transition(logpost_fn, grad_fn, key, theta0, eps, inv_mass,
 
         tp_n = jnp.where(go_right, th_e, tp)
         rp_n = jnp.where(go_right, r_e, rp)
+        gp_n = jnp.where(go_right, g_e, gp)
         tm_n = jnp.where(go_right, tm, th_e)
         rm_n = jnp.where(go_right, rm, r_e)
+        gm_n = jnp.where(go_right, gm, g_e)
         turning = _uturn(tp_n, tm_n, rp_n, rm_n, inv_mass)
         new_done = done | div | turning
 
         # freeze once done (delayed: state from completed doublings kept)
         frz = lambda old, new: jnp.where(done, old, new)
-        return ((key, frz(tp, tp_n), frz(rp, rp_n), frz(tm, tm_n),
-                 frz(rm, rm_n), frz(prop, prop_new),
+        return ((key, frz(tp, tp_n), frz(rp, rp_n), frz(gp, gp_n),
+                 frz(tm, tm_n), frz(rm, rm_n), frz(gm, gm_n),
+                 frz(prop, prop_new),
                  frz(log_sum_w, log_sum_w_new),
                  sum_acc + jnp.where(done, 0.0, sum_a),
                  n_acc + jnp.where(done, 0, n_a), new_done), None)
 
-    init = (key, theta0, r0, theta0, r0, theta0,
+    init = (key, theta0, r0, g0, theta0, r0, g0, theta0,
             jnp.asarray(0.0, dt),  # weight of the initial state: exp(0)
             jnp.asarray(0.0, dt), jnp.asarray(0, jnp.int32),
             jnp.asarray(False))
     carry, _ = jax.lax.scan(one_doubling, init,
                             jnp.arange(max_depth, dtype=jnp.int32))
-    theta_new = carry[5]
-    accept_stat = carry[7] / jnp.maximum(carry[8], 1)
+    theta_new = carry[7]
+    accept_stat = carry[9] / jnp.maximum(carry[10], 1)
     return theta_new, accept_stat
 
 
 def _hmc_transition(logpost_fn, grad_fn, key, theta0, eps, inv_mass, n_leap):
-    """Plain HMC with a uniformly jittered number of leapfrog steps."""
+    """Plain HMC with a uniformly jittered number of leapfrog steps.
+
+    As in ``_nuts_transition``, the loop carries (logp, grad) so one
+    value_and_grad per step is the only copy of the posterior graph."""
     dt = theta0.dtype
     dim = theta0.shape[0]
+    vg_fn = jax.value_and_grad(logpost_fn)
     key, kr, kl, ka = jax.random.split(key, 4)
     r0 = jax.random.normal(kr, (dim,), dt) * jnp.sqrt(1.0 / inv_mass)
     steps = jax.random.randint(kl, (), 1, n_leap + 1)
+    logp0, g0 = vg_fn(theta0)
+
+    def step(c):
+        th, r, logp, g = c
+        r_half = r + 0.5 * eps * g
+        th = th + eps * inv_mass * r_half
+        logp, g = vg_fn(th)
+        return th, r_half + 0.5 * eps * g, logp, g
 
     def body(i, c):
-        th, r = c
-        return jax.lax.cond(i < steps,
-                            lambda c: _leapfrog(grad_fn, c[0], c[1], eps,
-                                                inv_mass),
-                            lambda c: c, (th, r))
+        return jax.lax.cond(i < steps, step, lambda c: c, c)
 
-    theta, r = jax.lax.fori_loop(0, n_leap, body, (theta0, r0))
-    joint0 = logpost_fn(theta0) - _kinetic(r0, inv_mass)
-    joint = logpost_fn(theta) - _kinetic(r, inv_mass)
+    theta, r, logp, _ = jax.lax.fori_loop(0, n_leap, body,
+                                          (theta0, r0, logp0, g0))
+    joint0 = logp0 - _kinetic(r0, inv_mass)
+    joint = logp - _kinetic(r, inv_mass)
     delta = jnp.where(jnp.isnan(joint), -jnp.inf, joint - joint0)
     accept_prob = jnp.minimum(jnp.exp(delta), 1.0)
     take = jax.random.uniform(ka, dtype=dt) < accept_prob

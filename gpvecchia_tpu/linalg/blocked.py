@@ -53,14 +53,50 @@ def trsm_rightT(B, L):
             L, B, left_side=False, lower=True, transpose_a=False)
 
 
+# XLA's triangular_solve inverts the diagonal blocks of L in a scoped VMEM
+# buffer whose size scales with batch x P^2; past ~1024 x 86^2 f32 that
+# exceeds the 16 MB scoped limit and the compile FAILS when the solve sits
+# inside a while/scan body (where XLA cannot split the custom call).  The
+# vector solves ride inside the VL Newton loop and the bucketed level
+# scans, so chunk their leading batch axis below the limit; the matrix
+# trsm of the factor path never compiles inside a loop body and is left
+# whole.
+_SCOPED_VMEM_SAFE = 8 * 2 ** 20
+
+
+def _vec_solve_chunks(L):
+    if L.ndim < 3:
+        return 1
+    nb = 1
+    for s in L.shape[:-2]:
+        nb *= s
+    P = L.shape[-1]
+    Pp = -(-P // 8) * 8
+    Pl = -(-P // 128) * 128
+    bytes_ = nb * Pp * Pl * 4
+    k = 1
+    while bytes_ // k > _SCOPED_VMEM_SAFE and k < nb:
+        k *= 2
+    return k
+
+
+def _chunked_vec_solve(solve, L, b):
+    k = _vec_solve_chunks(L)
+    if k == 1 or L.shape[0] % k != 0:
+        return solve(b[..., None, :], L)[..., 0, :]
+    outs = [solve(bc[..., None, :], Lc)[..., 0, :]
+            for Lc, bc in zip(jnp.split(L, k), jnp.split(b, k))]
+    return jnp.concatenate(outs)
+
+
 def lower_solve_vec(L, b):
     """Solve L y = b; b (..., P)."""
-    return trsm_right(b[..., None, :], L)[..., 0, :]
+    return _chunked_vec_solve(trsm_right, L, b)
 
 
 def upper_solve_vec(L, b):
     """Solve L^T x = b; b (..., P)."""
-    return trsm_rightT(b[..., None, :], L)[..., 0, :]
+    return _chunked_vec_solve(trsm_rightT, L, b)
 
 
 def tri_inv_lower(L):
