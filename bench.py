@@ -362,6 +362,7 @@ def _child_main(arg):
             "small_vs_baseline": round(vs_small, 2),
             "small_grad_ms": round(small.get("grad_eval",
                                              float("nan")) * 1e3, 2),
+            "small_compile_s": round(small["compile_s"], 1),
             "big_compile_s": round(big["compile_s"], 1),
             "big_plan_s": round(big["plan_s"], 1),
         }))
@@ -404,7 +405,8 @@ def main():
                 ("cfg2", {"pred_mean_ms": float("nan"),
                           "pred_selinv_ms": float("nan")}),
                 ("cfg4", {"vl_nr_ms": float("nan")}),
-                ("cfg5", {"mra_eval_ms": float("nan")})]:
+                ("cfg5", {"mra_eval_ms": float("nan")}),
+                ("cfg5b", {"nuts_transition_ms": float("nan")})]:
             try:
                 got = run_child(["--extra", name], 1500)
                 result.update(got or fallback)

@@ -31,6 +31,11 @@ def make_mesh(devices=None, rows=None, chains=1):
     devices = np.asarray(devices if devices is not None else jax.devices())
     if rows is None:
         rows = devices.size // chains
+    if rows < 1 or devices.size < rows * chains:
+        raise ValueError(
+            f"make_mesh: {devices.size} device(s) cannot form a "
+            f"(chains={chains}, rows={rows}) mesh — on CPU, set "
+            f"--xla_force_host_platform_device_count in XLA_FLAGS")
     devices = devices[: rows * chains].reshape(chains, rows)
     return Mesh(devices, ("chains", "rows"))
 
